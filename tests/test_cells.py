@@ -1,0 +1,94 @@
+import numpy as np
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from wikibrain_spark.geo import cells
+
+RNG = np.random.default_rng(42)
+LATS = RNG.uniform(-89.9, 89.9, 500)
+LONS = RNG.uniform(-180.0, 180.0, 500)
+
+
+@pytest.mark.parametrize("res", [0, 4, 7, 9, 11])
+def test_hexlite_numpy_vs_sql(res):
+    np_ids = cells.hexlite_cell(LATS, LONS, res)
+    sql = cells.hexlite_cell_sql("lat", "lon", res)
+    con = duckdb.connect()
+    con.register("pts", __import__("pandas").DataFrame({"lat": LATS, "lon": LONS}))
+    sql_ids = con.sql(f"select {sql} as c from pts").df()["c"].to_numpy()
+    assert np.array_equal(np_ids, sql_ids)
+
+
+@pytest.mark.parametrize("res", [7, 9])
+def test_hexlite_numpy_vs_spark_column(spark, res):
+    import pandas as pd
+
+    df = spark.createDataFrame(pd.DataFrame({"lat": LATS, "lon": LONS}))
+    got = (
+        df.select(cells.hexlite_cell_col(F.col("lat"), F.col("lon"), res).alias("c"))
+        .toPandas()["c"]
+        .to_numpy()
+    )
+    assert np.array_equal(got, cells.hexlite_cell(LATS, LONS, res))
+
+
+def test_hexlite_header_bits_and_res_roundtrip():
+    ids = cells.hexlite_cell(LATS, LONS, 9)
+    res, lat_idx, lon_idx = cells.hexlite_decode(ids)
+    assert (res == 9).all()
+    assert ((ids >> 60) == 1).all()
+    assert (lat_idx >= 0).all() and (lon_idx >= 0).all()
+
+
+def test_hexlite_center_within_cell():
+    ids = cells.hexlite_cell(LATS, LONS, 7)
+    clat, clon = cells.hexlite_center(ids)
+    again = cells.hexlite_cell(clat, clon, 7)
+    assert np.array_equal(ids, again)
+
+
+def test_hexlite_parent_consistency():
+    ids = cells.hexlite_cell(LATS, LONS, 11)
+    parents = cells.hexlite_parent(ids, 7)
+    res, _, _ = cells.hexlite_decode(parents)
+    assert (res == 7).all()
+
+
+def test_k_ring_size_and_membership():
+    cell = int(cells.hexlite_cell(np.array([40.0]), np.array([-74.0]), 9)[0])
+    ring = cells.hexlite_k_ring(cell, 1)
+    assert len(ring) == 9
+    assert cell in ring
+    ring2 = cells.hexlite_k_ring(cell, 2)
+    assert len(ring2) == 25
+    assert set(ring).issubset(set(ring2))
+
+
+def test_k_ring_wraps_longitude():
+    cell = int(cells.hexlite_cell(np.array([0.0]), np.array([179.99]), 7)[0])
+    ring = cells.hexlite_k_ring(cell, 1)
+    assert len(ring) == 9  # no cells lost at the antimeridian
+
+
+def test_cover_bbox_contains_point_cells():
+    ids = cells.hexlite_cell(LATS[:50], LONS[:50], 6)
+    lo_la, hi_la = LATS[:50].min(), LATS[:50].max()
+    lo_lo, hi_lo = LONS[:50].min(), LONS[:50].max()
+    cover = cells.hexlite_cover_bbox(lo_la, hi_la, lo_lo, hi_lo, 6)
+    assert set(ids).issubset(set(cover))
+
+
+def test_s2_deterministic_and_hierarchical():
+    ids30 = cells.s2_cell_id(LATS, LONS, 30)
+    assert np.array_equal(ids30, cells.s2_cell_id(LATS, LONS, 30))
+    ids10 = cells.s2_cell_id(LATS, LONS, 10)
+    assert np.array_equal(ids10, cells.s2_parent(ids30, 10))
+    # face bits sane
+    faces = (ids30.astype(np.uint64) >> np.uint64(61)).astype(int)
+    assert ((faces >= 0) & (faces <= 5)).all()
+    # nearby points share coarse cells; antipodal points do not
+    a = cells.s2_cell_id(np.array([40.0]), np.array([-74.0]), 8)[0]
+    b = cells.s2_cell_id(np.array([40.0001]), np.array([-74.0001]), 8)[0]
+    c = cells.s2_cell_id(np.array([-40.0]), np.array([106.0]), 8)[0]
+    assert a == b and a != c

@@ -1,0 +1,62 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Designed for spark-submit --py-files on a multi-executor cluster; in this
+sandbox it runs local[N]. Every knob here matters at 100 TB:
+  - AQE on: runtime re-planning, skew-join splitting, partition coalescing.
+  - Arrow on + bounded batch size: image batches must fit executor memory.
+  - shuffle partitions parameterized: sized to the data scale, not hardcoded.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "wikibrain_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    arrow_batch_rows: int = 2048,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default all
+    cores) so the same entrypoint serves tests, bench, and spark-submit
+    (where master comes from the cluster manager and must NOT be set here).
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and "SPARK_GRAFT_CPUS" in os.environ:
+        master = f"local[{os.environ['SPARK_GRAFT_CPUS']}]"
+    if master:
+        builder = builder.master(master)
+
+    cores = os.cpu_count() or 8
+    if shuffle_partitions is None:
+        # local mode: ~1 partition per core keeps task overhead low at test
+        # scale; on a real cluster pass an explicit value sized to the input
+        # (rule of thumb: total shuffle bytes / 128 MiB).
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", cores))
+
+    conf = {
+        "spark.sql.shuffle.partitions": str(shuffle_partitions),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # image rows are fat (binary pixels): cap Arrow batch row count so a
+        # decoded batch (rows * w * h * 3 bytes) stays well under worker memory
+        "spark.sql.execution.arrow.maxRecordsPerBatch": str(arrow_batch_rows),
+        # deterministic timestamps across engines (oracle comparisons)
+        "spark.sql.session.timeZone": "UTC",
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        "spark.ui.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    }
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

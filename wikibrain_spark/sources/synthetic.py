@@ -1,0 +1,262 @@
+"""Deterministic synthetic generators for the engine's own input tables.
+
+The driver's /root/testdata has the TPC-H-ish tables; the engine's
+geospatial inputs (image+caption pairs per BASELINE.json input_hint, OSM
+boundary polygons, wikidata dimension tables) are generated here, seeded,
+with pure-Python ground truth (expected geotags / tiles) emitted alongside
+so every Spark result has an independent oracle (FIXTURES.md §2-§6).
+
+Scale note: generation is only for tests/bench (sf-scale). At 100 TB the
+real tables arrive as Iceberg/Parquet; everything downstream is agnostic.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+
+from wikibrain_spark import codecs
+from wikibrain_spark.geo import cells, pip
+
+SEED = 42
+
+# World layout: points cluster around "cities" so boundary polygons get
+# realistic skew (one megacity = hot H3 cells, FIXTURES.md §3).
+_CITIES = [
+    # (name, lat, lon, weight, qid, wikipedia) — megacity first with weight
+    # >= 30% to force hot-cell salting down the line
+    ("Megapolis", 40.0, -74.0, 0.35, "Q100", "en:Megapolis"),
+    ("Altstadt", 52.5, 13.4, 0.15, "Q101", "de:Altstadt"),
+    ("Riverside", 48.85, 2.35, 0.12, "Q102", "fr:Riverside"),
+    ("Lakeview", 41.9, 12.5, 0.10, "Q103", "it:Lakeview"),
+    ("Hilltop", -33.9, 151.2, 0.08, "Q104", "en:Hilltop"),
+    ("Port Verde", -23.55, -46.63, 0.08, "Q105", "pt:Port Verde"),
+    ("Nordhaven", 59.9, 10.75, 0.07, "Q106", "no:Nordhaven"),
+    ("Sandflat", 30.0, 31.2, 0.05, "Q107", "ar:Sandflat"),
+]
+
+_FMTS = ["ppm", "bmp", "pngz", "dctq"]
+
+CAPTION_WORDS = [
+    "plaza", "bridge", "station", "market", "cathedral", "museum", "tower",
+    "garden", "harbor", "fountain", "monument", "library", "castle", "square",
+]
+
+
+def _city_polygon(lat: float, lon: float, radius_deg: float, n_vertices: int, rng) -> tuple[np.ndarray, np.ndarray]:
+    ang = np.linspace(0, 2 * np.pi, n_vertices, endpoint=False)
+    r = radius_deg * (0.7 + 0.6 * rng.random(n_vertices))
+    return lat + r * np.sin(ang), lon + r * np.cos(ang)
+
+
+def generate_boundaries(rng=None) -> pd.DataFrame:
+    """OSM-style boundary polygons carrying wikipedia/wikidata tags.
+
+    Includes the malformed/redirect/missing tag cases from FIXTURES.md §3 so
+    the link-resolution operators have real rows to fire on.
+    """
+    rng = rng or np.random.default_rng(SEED)
+    rows = []
+    for i, (name, lat, lon, w, qid, wikipedia) in enumerate(_CITIES):
+        radius = 3.0 if i == 0 else 1.2  # megacity is large -> overlaps many cells
+        rlat, rlon = _city_polygon(lat, lon, radius, 12, rng)
+        tags = {"name": name, "boundary": "administrative", "wikidata": qid, "wikipedia": wikipedia}
+        # inject validator-exercising tag variants on some boundaries
+        if i == 3:
+            tags["wikidata"] = "Saturn"  # malformed
+        if i == 4:
+            tags["fixme:wikipedia"] = "check me"
+        if i == 5:
+            tags["not:brand:wikidata"] = "Q177054"
+            tags["brand:wikidata"] = "Q177054"
+        rows.append(
+            {
+                "boundary_id": i,
+                "qid": tags.get("wikidata"),
+                "wikipedia": tags.get("wikipedia"),
+                "tags": tags,
+                "ring_lat": rlat.tolist(),
+                "ring_lon": rlon.tolist(),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def generate_images(n: int, rng=None, img_hw: tuple[int, int] = (24, 32)) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """(images, expected_geotags). images matches BASELINE.json input_hint:
+    (image_id, bytes, w, h, fmt, caption, phash)."""
+    rng = rng or np.random.default_rng(SEED)
+    weights = np.array([c[3] for c in _CITIES])
+    city_idx = rng.choice(len(_CITIES), size=n, p=weights / weights.sum())
+    h, w = img_hw
+    yy, xx = np.mgrid[0:h, 0:w]
+    rows = []
+    truth = []
+    for i in range(n):
+        c = _CITIES[city_idx[i]]
+        lat = float(c[1] + rng.normal(0, 1.2))
+        lon = float(c[2] + rng.normal(0, 1.2))
+        fmt = _FMTS[i % len(_FMTS)]
+        base = np.stack(
+            [(yy * (37 + i)) % 256, (xx * (11 + i)) % 256, ((yy + xx) * (5 + i)) % 256], axis=-1
+        ).astype(np.float64)
+        img = np.clip(base * 0.8 + rng.uniform(0, 255, (h, w, 3)) * 0.2, 0, 255).astype(np.uint8)
+        payload = codecs.encode_image(img, fmt, lat, lon)
+        caption = f"{CAPTION_WORDS[i % len(CAPTION_WORDS)]} near {c[0]}"
+        rows.append(
+            {
+                "image_id": f"img_{i:08d}",
+                "bytes": payload,
+                "w": w,
+                "h": h,
+                "fmt": fmt,
+                "caption": caption,
+                "phash": codecs.phash64(img),
+            }
+        )
+        truth.append({"image_id": f"img_{i:08d}", "lat": lat, "lon": lon})
+    return pd.DataFrame(rows), pd.DataFrame(truth)
+
+
+def expected_tiles(geotags: pd.DataFrame, boundaries: pd.DataFrame, res: int = 9) -> pd.DataFrame:
+    """Pure-Python oracle for the spatial join + tile assignment
+    (FIXTURES.md §6 expected_tiles): (image_id, cell_r9, boundary_id, qid)."""
+    idx = pip.PolygonIndex(
+        boundaries["boundary_id"].to_numpy(),
+        boundaries["ring_lat"].tolist(),
+        boundaries["ring_lon"].tolist(),
+    )
+    lat = geotags["lat"].to_numpy()
+    lon = geotags["lon"].to_numpy()
+    pt, poly = idx.query_batch(lat, lon)
+    qid_by_boundary = dict(zip(boundaries["boundary_id"], boundaries["qid"]))
+    cell = cells.hexlite_cell(lat[pt], lon[pt], res)
+    return pd.DataFrame(
+        {
+            "image_id": geotags["image_id"].to_numpy()[pt],
+            "cell_r9": cell,
+            "boundary_id": poly,
+            "qid": [qid_by_boundary[int(b)] for b in poly],
+        }
+    ).sort_values(["image_id", "boundary_id"]).reset_index(drop=True)
+
+
+# ------------------------------------------------- wikidata dimension tables
+
+def generate_wikidata_dim() -> dict[str, pd.DataFrame]:
+    """Small wikidata-shaped dimension tables covering the FIXTURES.md §5
+    cases: entities, ontology edges (P31/P279), redirects, pages, sitelinks."""
+    entities = [
+        # qid, label, sitelinks {lang: title}, P625 (lat, lon) or None
+        ("Q100", "Megapolis", {"en": "Megapolis", "de": "Megapolis"}, (40.0, -74.0)),
+        ("Q101", "Altstadt", {"de": "Altstadt"}, (52.5, 13.4)),
+        ("Q102", "Riverside", {"fr": "Riverside", "en": "Riverside (city)"}, (48.85, 2.35)),
+        ("Q103", "Lakeview", {"it": "Lakeview"}, (41.9, 12.5)),
+        ("Q104", "Hilltop", {"en": "Hilltop"}, (-33.9, 151.2)),
+        ("Q105", "Port Verde", {"pt": "Port Verde"}, (-23.55, -46.63)),
+        ("Q106", "Nordhaven", {"no": "Nordhaven"}, (59.9, 10.75)),
+        ("Q107", "Sandflat", {"ar": "Sandflat"}, (30.0, 31.2)),
+        ("Q5", "human", {}, None),
+        ("Q4167410", "disambiguation page", {}, None),
+        ("Q13406463", "list article", {}, None),
+        ("Q515", "city", {}, None),
+        ("Q486972", "human settlement", {}, None),
+        ("Q2221906", "geographic location", {}, None),
+        ("Q177054", "brand thing", {"en": "Brand Thing"}, None),
+        ("Q999000", "Stan Example", {"en": "Stanislav Example"}, None),  # a human
+        ("Q999001", "Megapolis (disambiguation)", {"en": "Megapolis (disambiguation)"}, None),
+    ]
+    wikidata = pd.DataFrame(
+        [
+            {
+                "qid": q,
+                "label_en": lbl,
+                "sitelinks": sl,
+                "lat": (c[0] if c else None),
+                "lon": (c[1] if c else None),
+            }
+            for q, lbl, sl, c in entities
+        ]
+    )
+    edges = pd.DataFrame(
+        [
+            # child, parent, pid
+            ("Q100", "Q515", "P31"),
+            ("Q101", "Q515", "P31"),
+            ("Q102", "Q515", "P31"),
+            ("Q103", "Q515", "P31"),
+            ("Q104", "Q515", "P31"),
+            ("Q105", "Q515", "P31"),
+            ("Q106", "Q515", "P31"),
+            ("Q107", "Q515", "P31"),
+            ("Q515", "Q486972", "P279"),
+            ("Q486972", "Q2221906", "P279"),
+            ("Q999000", "Q5", "P31"),
+            ("Q999001", "Q4167410", "P31"),
+        ],
+        columns=["child_qid", "parent_qid", "pid"],
+    )
+    redirects = pd.DataFrame(
+        [("Q99100", "Q100")], columns=["from_qid", "to_qid"]
+    )
+    pages = pd.DataFrame(
+        [
+            ("en", "Megapolis", "Q100"),
+            ("de", "Megapolis", "Q100"),
+            ("de", "Altstadt", "Q101"),
+            ("fr", "Riverside", "Q102"),
+            ("en", "Riverside (city)", "Q102"),
+            ("it", "Lakeview", "Q103"),
+            ("en", "Hilltop", "Q104"),
+            ("pt", "Port Verde", "Q105"),
+            ("no", "Nordhaven", "Q106"),
+            ("ar", "Sandflat", "Q107"),
+            ("en", "Stanislav Example", "Q999000"),
+            ("en", "Megapolis (disambiguation)", "Q999001"),
+            ("en", "Brand Thing", "Q177054"),
+        ],
+        columns=["lang", "title", "qid"],
+    )
+    wp_redirects = pd.DataFrame(
+        [("en", "Megapolis City", "Megapolis")], columns=["lang", "from_title", "to_title"]
+    )
+    return {
+        "wikidata": wikidata,
+        "ontology_edges": edges,
+        "wikidata_redirects": redirects,
+        "wikipedia_pages": pages,
+        "wikipedia_redirects": wp_redirects,
+    }
+
+
+# ------------------------------------------------------------- parquet cache
+
+def materialize(out_dir: str, n_images: int = 2000) -> dict[str, str]:
+    """Write all synthetic tables as parquet under out_dir (idempotent cache).
+
+    Returns {table_name: path}. Uses pyarrow via pandas — no Spark needed, so
+    generation never competes with the session under test.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    marker = os.path.join(out_dir, f".done_{n_images}")
+    paths = {}
+    names = ["images", "expected_geotags", "boundaries", "expected_tiles",
+             "wikidata", "ontology_edges", "wikidata_redirects",
+             "wikipedia_pages", "wikipedia_redirects"]
+    for nm in names:
+        paths[nm] = os.path.join(out_dir, f"{nm}.parquet")
+    if os.path.exists(marker):
+        return paths
+    rng = np.random.default_rng(SEED)
+    boundaries = generate_boundaries(rng)
+    images, geotags = generate_images(n_images, rng)
+    tiles = expected_tiles(geotags, boundaries)
+    dims = generate_wikidata_dim()
+    frames = {"images": images, "expected_geotags": geotags,
+              "boundaries": boundaries, "expected_tiles": tiles, **dims}
+    for nm, frame in frames.items():
+        frame.to_parquet(paths[nm], index=False)
+    open(marker, "w").close()
+    return paths
