@@ -1,0 +1,190 @@
+"""Point-in-polygon spatial join: geotagged points vs boundary polygons.
+
+Two physical strategies, one logical contract (SURVEY.md U4, J12-J14):
+
+1. broadcast_pip_join — the dimension side (boundary polygons) is small
+   enough to broadcast. We broadcast the raw ring arrays once; each Python
+   worker builds the grid-bucketed PolygonIndex a single time per partition
+   (amortized inside mapInPandas), then streams Arrow batches through it.
+   This is the STRtree-in-mapInPandas pattern from the north star.
+
+2. shuffle_pip_join — polygons too big to broadcast. Polygons are exploded
+   to their covering hexlite cells; points carry their cell; the equi-join
+   on cell co-locates candidates; an exact ring test refines. Hot cells
+   (megacity polygons) are salted: the points side gets salt =
+   pmod(hash(image_id), n_salt) and the polygon side is replicated n_salt
+   times — ONLY for cells above a hotness threshold measured by a cheap
+   count pre-pass (AQE skew-join is the backstop, but it cannot split the
+   Python refine stage, so explicit salting is load-bearing at 100 TB).
+
+At 100 TB the join key is (cell_r{res}); the points side arrives already
+partitioned by cell prefix from the geotag stage, so the shuffle moves
+only the exploded polygon side when bucketing is aligned.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wikibrain_spark.geo import cells, pip
+
+COVER_RES = 4  # polygon covering resolution for the shuffle strategy
+
+
+def _collect_polygon_arrays(boundaries: DataFrame) -> tuple[np.ndarray, list, list]:
+    rows = boundaries.select("boundary_id", "ring_lat", "ring_lon").collect()
+    ids = np.array([r["boundary_id"] for r in rows], dtype=np.int64)
+    lats = [np.array(r["ring_lat"], dtype=np.float64) for r in rows]
+    lons = [np.array(r["ring_lon"], dtype=np.float64) for r in rows]
+    return ids, lats, lons
+
+
+def broadcast_pip_join(points: DataFrame, boundaries: DataFrame, index_res: int = COVER_RES) -> DataFrame:
+    """points(image_id, lat, lon, ...) x boundaries -> (image_id, boundary_id).
+
+    The polygon set is collected on the driver (it is the broadcast dim) and
+    shipped via a Spark broadcast variable; workers rebuild the index once.
+    """
+    spark = points.sparkSession
+    ids, lats, lons = _collect_polygon_arrays(boundaries)
+    bc = spark.sparkContext.broadcast((ids, [a.tolist() for a in lats], [a.tolist() for a in lons], index_res))
+
+    def pip_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        p_ids, p_lats, p_lons, res = bc.value
+        index = pip.PolygonIndex(p_ids, p_lats, p_lons, res=res)  # once per partition
+        for b in batches:
+            lat = b["lat"].to_numpy()
+            lon = b["lon"].to_numpy()
+            pt_idx, poly_id = index.query_batch(lat, lon)
+            yield pd.DataFrame(
+                {
+                    "image_id": b["image_id"].to_numpy()[pt_idx],
+                    "lat": lat[pt_idx],
+                    "lon": lon[pt_idx],
+                    "boundary_id": poly_id,
+                }
+            )
+
+    # lat/lon ride along so downstream tile encoding needs no re-join
+    return points.select("image_id", "lat", "lon").mapInPandas(
+        pip_batches, schema="image_id string, lat double, lon double, boundary_id long"
+    )
+
+
+def polygon_cover(boundaries: DataFrame, res: int = COVER_RES) -> DataFrame:
+    """Explode each polygon to its covering cells at `res` (bbox cover).
+    This is the scale-side pre-pass; at 10^12 rows it runs once per polygon
+    snapshot and is tiny next to the points table."""
+
+    def cover_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out_b, out_c = [], []
+            for bid, rlat, rlon in zip(b["boundary_id"], b["ring_lat"], b["ring_lon"]):
+                rlat = np.asarray(rlat); rlon = np.asarray(rlon)
+                cover = cells.hexlite_cover_bbox(rlat.min(), rlat.max(), rlon.min(), rlon.max(), res)
+                out_b.extend([bid] * len(cover))
+                out_c.extend(cover.tolist())
+            yield pd.DataFrame({"boundary_id": out_b, "cell": out_c})
+
+    return boundaries.select("boundary_id", "ring_lat", "ring_lon").mapInPandas(
+        cover_batch, schema="boundary_id long, cell long"
+    )
+
+
+def shuffle_pip_join(
+    points: DataFrame,
+    boundaries: DataFrame,
+    res: int = COVER_RES,
+    hot_cell_threshold: int = 50_000,
+    n_salt: int = 8,
+) -> DataFrame:
+    """Shuffle strategy with explicit hot-cell salting.
+
+    points must carry (image_id, lat, lon). Returns (image_id, boundary_id).
+    """
+    spark = points.sparkSession
+    pts = points.select(
+        "image_id", "lat", "lon",
+        cells.hexlite_cell_col(F.col("lat"), F.col("lon"), res).alias("cell"),
+    )
+
+    # hotness pre-pass: cells whose point-count exceeds the threshold get
+    # split into n_salt sub-keys. The count aggregates map-side (partial agg)
+    # so the pre-pass shuffles only one row per distinct cell.
+    hot = (
+        pts.groupBy("cell").count()
+        .where(F.col("count") > hot_cell_threshold)
+        .select("cell", F.lit(n_salt).alias("n_salt"))
+    )
+
+    cover = polygon_cover(boundaries, res)
+    # replicate polygon cover rows for hot cells: salt 0..n_salt-1
+    cover_salted = (
+        cover.join(F.broadcast(hot), "cell", "left")
+        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.coalesce(F.col("n_salt"), F.lit(1)) - 1)))
+        .drop("n_salt")
+    )
+    pts_salted = (
+        pts.join(F.broadcast(hot), "cell", "left")
+        .withColumn(
+            "salt",
+            F.when(F.col("n_salt").isNull(), F.lit(0)).otherwise(
+                F.pmod(F.xxhash64("image_id"), F.col("n_salt")).cast("int")
+            ),
+        )
+        .drop("n_salt")
+    )
+
+    # geometry travels with the polygon side (rings are small; candidates
+    # after the cell equi-join are few per point)
+    geom = boundaries.select("boundary_id", "ring_lat", "ring_lon")
+    cand = (
+        pts_salted.join(cover_salted.join(geom, "boundary_id"), ["cell", "salt"])
+        .select("image_id", "lat", "lon", "boundary_id", "ring_lat", "ring_lon")
+    )
+
+    def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            b = b.reset_index(drop=True)
+            keep = np.zeros(len(b), dtype=bool)
+            # group rows by boundary so each ring tests its points vectorized
+            for _bid, grp in b.groupby("boundary_id", sort=False):
+                ring_lat = np.asarray(grp["ring_lat"].iloc[0], dtype=np.float64)
+                ring_lon = np.asarray(grp["ring_lon"].iloc[0], dtype=np.float64)
+                inside = pip.points_in_ring(
+                    grp["lat"].to_numpy(), grp["lon"].to_numpy(), ring_lat, ring_lon
+                )
+                keep[grp.index.to_numpy()] = inside
+            yield b.loc[keep, ["image_id", "lat", "lon", "boundary_id"]]
+
+    return cand.mapInPandas(
+        refine, schema="image_id string, lat double, lon double, boundary_id long"
+    ).dropDuplicates(["image_id", "boundary_id"])
+
+
+def tile_assignments(
+    points: DataFrame, boundaries: DataFrame, res: int = 9, strategy: str = "broadcast"
+) -> DataFrame:
+    """The flagship output row (SURVEY.md §7.1 step 3): image x containing
+    boundary x tile cell + the boundary's wiki tags.
+
+    Returns (image_id, cell_r{res}, boundary_id, qid, wikipedia).
+    """
+    join_fn = broadcast_pip_join if strategy == "broadcast" else shuffle_pip_join
+    pairs = join_fn(points, boundaries)  # carries lat/lon: no re-join shuffle
+    dim = boundaries.select("boundary_id", "qid", "wikipedia")
+    return (
+        pairs.join(F.broadcast(dim), "boundary_id")
+        .select(
+            "image_id",
+            cells.hexlite_cell_col(F.col("lat"), F.col("lon"), res).alias(f"cell_r{res}"),
+            "boundary_id",
+            "qid",
+            "wikipedia",
+        )
+    )
