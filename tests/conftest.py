@@ -11,5 +11,6 @@ from wikibrain_spark.session import get_spark  # noqa: E402
 @pytest.fixture(scope="session")
 def spark():
     s = get_spark("wikibrain-tests", master="local[4]", shuffle_partitions=4)
+    s.sparkContext.setLogLevel("ERROR")
     yield s
     s.stop()

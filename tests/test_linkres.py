@@ -1,0 +1,65 @@
+"""Golden-case tests for the link-resolution pipeline: every FIXTURES.md §5
+case must produce exactly the reference's error_id (or be clean)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from wikibrain_spark.operators import linkres
+from wikibrain_spark.sources import synthetic
+
+ELEMENTS_SCHEMA = (
+    "element_id long, object_type string, tags map<string,string>, "
+    "lat double, lon double, expected_error_id string"
+)
+CLAIMS_SCHEMA = (
+    "qid string, pid string, value_str string, value_qid string, "
+    "value_lat double, value_lon double, qualifier_pids array<string>"
+)
+
+
+@pytest.fixture(scope="module")
+def dims(spark):
+    d = synthetic.generate_wikidata_dim()
+    return linkres.WikiDims(
+        wikidata=spark.createDataFrame(
+            d["wikidata"], "qid string, label_en string, sitelinks map<string,string>, lat double, lon double"
+        ),
+        claims=spark.createDataFrame(d["wikidata_claims"], CLAIMS_SCHEMA),
+        pages=spark.createDataFrame(d["wikipedia_pages"], "lang string, title string, qid string"),
+        page_redirects=spark.createDataFrame(
+            d["wikipedia_redirects"], "lang string, from_title string, to_title string"
+        ),
+        qid_redirects=spark.createDataFrame(d["wikidata_redirects"], "from_qid string, to_qid string"),
+        edges=spark.createDataFrame(d["ontology_edges"], "child_qid string, parent_qid string, pid string"),
+    )
+
+
+@pytest.fixture(scope="module")
+def resolved(spark, dims):
+    elements = spark.createDataFrame(synthetic.generate_test_elements(), ELEMENTS_SCHEMA)
+    got = linkres.resolve(elements.drop("expected_error_id"), dims).toPandas()
+    want = synthetic.generate_test_elements()[["element_id", "expected_error_id", "tags"]]
+    return got.set_index("element_id"), want
+
+
+def test_every_golden_case(resolved):
+    got, want = resolved
+    failures = []
+    for _, row in want.iterrows():
+        eid = row["element_id"]
+        expected = row["expected_error_id"]
+        actual = got.loc[eid, "error_id"] if eid in got.index else None
+        if expected in (None, "FILTERED"):
+            if actual is not None:
+                failures.append(f"#{eid} {dict(row['tags'])}: expected clean, got {actual!r}")
+        else:
+            if actual != expected:
+                failures.append(f"#{eid} {dict(row['tags'])}: expected {expected!r}, got {actual!r}")
+    assert not failures, "\n".join(failures)
+
+
+def test_report_count_matches(resolved):
+    got, want = resolved
+    n_expected = want["expected_error_id"].apply(lambda e: e not in (None, "FILTERED")).sum()
+    assert len(got) == n_expected

@@ -1,0 +1,108 @@
+"""Ontology transitive closure over wikidata P31/P279 edges (SURVEY.md J7/J8).
+
+Reference semantics (wikimedia_link_issue_reporter.py:1433-1453):
+  - classifying entries of X = P279-closure(X)  UNION  over each P31 root R
+    of X (R not ignored): P279-closure(R); closures include their start.
+  - an ignore-list prunes traversal (":1437", ":1447-1449") — load-bearing:
+    without it hub nodes explode the closure (SURVEY.md §7.3).
+
+Spark realization: iterative frontier join to fixpoint, driver-controlled.
+Spark SQL has no recursive CTE we can rely on; the loop is bounded by the
+ontology depth (~20 for Wikidata). Each iteration:
+    frontier' = frontier ⋈ edges ON ancestor=child → parent, minus ignored,
+                minus already-seen (via left_anti) to guarantee termination
+                on cycles.
+The edges side is broadcast when small; `localCheckpoint` every few rounds
+truncates the lineage so the plan does not grow unboundedly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def p279_closure(
+    edges: DataFrame,
+    ignored: list[str] | None = None,
+    max_iterations: int = 25,
+    broadcast_edges: bool = True,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """(child_qid, parent_qid) P279 edges -> (qid, ancestor) closure table.
+
+    Includes the reflexive pair (qid, qid) for every qid that appears as a
+    child or parent (closures 'include their start', see module docstring).
+    Ignored qids neither appear as ancestors nor are traversed through.
+    """
+    spark = edges.sparkSession
+    e = edges.select(F.col("child_qid").alias("child"), F.col("parent_qid").alias("parent"))
+    if ignored:
+        ign = spark.createDataFrame([(q,) for q in ignored], "qid string")
+        e = (
+            e.join(F.broadcast(ign), e["parent"] == ign["qid"], "left_anti")
+            .join(F.broadcast(ign), e["child"] == ign["qid"], "left_anti")
+        )
+    if broadcast_edges:
+        e = F.broadcast(e)
+
+    nodes = e.select(F.col("child").alias("qid")).union(e.select("parent")).distinct()
+    closure = nodes.select("qid", F.col("qid").alias("ancestor")).persist()
+    frontier = closure
+
+    for i in range(max_iterations):
+        step = (
+            frontier.join(e, frontier["ancestor"] == e["child"])
+            .select("qid", F.col("parent").alias("ancestor"))
+            .distinct()
+        )
+        new = step.join(closure, ["qid", "ancestor"], "left_anti").persist()
+        if i % checkpoint_every == checkpoint_every - 1:
+            new = new.localCheckpoint()
+        if new.isEmpty():
+            break
+        closure = closure.union(new).persist()
+        frontier = new
+    return closure
+
+
+def classifying_ancestors(
+    edges: DataFrame, ignored: list[str] | None = None, **kw
+) -> DataFrame:
+    """(qid, ancestor) per the reference's wikidata_entries_classifying_entry:
+    P279-closure of the entity itself UNION P279-closure of each non-ignored
+    P31 root (closure includes the root)."""
+    p279 = edges.where(F.col("pid") == "P279")
+    p31 = edges.where(F.col("pid") == "P31").select(
+        F.col("child_qid").alias("qid"), F.col("parent_qid").alias("root")
+    )
+    if ignored:
+        spark = edges.sparkSession
+        ign = spark.createDataFrame([(q,) for q in ignored], "iqid string")
+        p31 = p31.join(F.broadcast(ign), p31["root"] == ign["iqid"], "left_anti")
+    closure = p279_closure(p279, ignored=ignored, **kw)
+    own = closure  # includes (qid, qid)
+    via_roots = p31.join(closure.withColumnRenamed("qid", "root"), "root").select("qid", "ancestor")
+    # roots themselves are ancestors even if they have no P279 edges
+    root_self = p31.select("qid", F.col("root").alias("ancestor"))
+    return own.union(via_roots).union(root_self).distinct()
+
+
+def instance_types(edges: DataFrame, ignored: list[str] | None = None, **kw) -> DataFrame:
+    """(qid, type_qid) per get_all_types_describing_wikidata_object: the P31
+    roots plus the P279-closure of each root (used by the disambig check,
+    wikimedia_link_issue_reporter.py:1130-1140, :1737-1759)."""
+    p279 = edges.where(F.col("pid") == "P279")
+    p31 = edges.where(F.col("pid") == "P31").select(
+        F.col("child_qid").alias("qid"), F.col("parent_qid").alias("root")
+    )
+    if ignored:
+        spark = edges.sparkSession
+        ign = spark.createDataFrame([(q,) for q in ignored], "iqid string")
+        p31 = p31.join(F.broadcast(ign), p31["root"] == ign["iqid"], "left_anti")
+    closure = p279_closure(p279, ignored=ignored, **kw)
+    via_roots = p31.join(closure.withColumnRenamed("qid", "root"), "root").select(
+        "qid", F.col("ancestor").alias("type_qid")
+    )
+    root_self = p31.select("qid", F.col("root").alias("type_qid"))
+    return via_roots.union(root_self).distinct()

@@ -145,9 +145,12 @@ def expected_tiles(geotags: pd.DataFrame, boundaries: pd.DataFrame, res: int = 9
 
 # ------------------------------------------------- wikidata dimension tables
 
+BLACKLISTED_FIXTURE_QID = "Q1001437"  # first entry of the public blacklist
+
+
 def generate_wikidata_dim() -> dict[str, pd.DataFrame]:
-    """Small wikidata-shaped dimension tables covering the FIXTURES.md §5
-    cases: entities, ontology edges (P31/P279), redirects, pages, sitelinks."""
+    """Small wikidata-shaped dimension tables covering the FIXTURES.md §4/§5
+    cases: entities, claims, ontology edges (P31/P279), redirects, pages."""
     entities = [
         # qid, label, sitelinks {lang: title}, P625 (lat, lon) or None
         ("Q100", "Megapolis", {"en": "Megapolis", "de": "Megapolis"}, (40.0, -74.0)),
@@ -167,6 +170,21 @@ def generate_wikidata_dim() -> dict[str, pd.DataFrame]:
         ("Q177054", "brand thing", {"en": "Brand Thing"}, None),
         ("Q999000", "Stan Example", {"en": "Stanislav Example"}, None),  # a human
         ("Q999001", "Megapolis (disambiguation)", {"en": "Megapolis (disambiguation)"}, None),
+        ("Q999002", "List of megapolis towers", {}, None),   # a list article
+        ("Q999003", "Ambiguous thing", {}, None),            # ambiguous wikidata item
+        ("Q99100", "old Megapolis entry", {}, None),         # redirect source
+        ("Q106617236", "whitelisted thing", {}, None),       # skipped_cases()[0]
+        (BLACKLISTED_FIXTURE_QID, "Budget", {}, None),       # blacklist fixture
+        ("Q7501155", "Dissolved Brand Co", {}, None),
+        ("Q6746", "Active Brand Co", {}, None),
+        ("Q1565289", "grave one", {}, None),
+        ("Q1564970", "grave two", {}, None),
+        ("Q777001", "Township", {"pl": "Township"}, (52.0, 19.0)),  # teryt P4046
+        ("Q777002", "Other Township", {}, (52.1, 19.1)),
+        ("Q888001", "Chain HQ Co", {}, None),                # P159 far, no area
+        ("Q888002", "Boundary With HQ", {}, None),           # P159 + P2046
+        ("Q889001", "Sputnik-like", {}, None),               # P247 spacecraft
+        ("Q889002", "generic class", {}, None),              # has P279 claim
     ]
     wikidata = pd.DataFrame(
         [
@@ -195,12 +213,33 @@ def generate_wikidata_dim() -> dict[str, pd.DataFrame]:
             ("Q486972", "Q2221906", "P279"),
             ("Q999000", "Q5", "P31"),
             ("Q999001", "Q4167410", "P31"),
+            ("Q999002", "Q13406463", "P31"),
+            ("Q999003", "Q122754124", "P31"),  # ambiguous item -> skip
+            ("Q999003", "Q5", "P31"),          # would be 'a human' if not skipped
+            ("Q777001", "Q515", "P31"),
+            ("Q777002", "Q515", "P31"),
         ],
         columns=["child_qid", "parent_qid", "pid"],
     )
-    redirects = pd.DataFrame(
-        [("Q99100", "Q100")], columns=["from_qid", "to_qid"]
+    # claims long table: qid, pid, value_str, value_qid, value_lat, value_lon, qualifier_pids
+    _c = lambda qid, pid, vs=None, vq=None, la=None, lo=None, quals=None: {
+        "qid": qid, "pid": pid, "value_str": vs, "value_qid": vq,
+        "value_lat": la, "value_lon": lo, "qualifier_pids": quals or [],
+    }
+    claims = pd.DataFrame(
+        [
+            _c("Q777001", "P4046", vs="0912345"),
+            _c("Q777002", "P4046", vs="0912399"),
+            _c("Q7501155", "P576", vs="2010"),                       # dissolved
+            _c("Q6746", "P576", vs="1990", quals=["P1011"]),          # excluded -> alive
+            _c("Q888001", "P159", vq="Q100", la=0.0, lo=0.0),         # HQ far away
+            _c("Q888002", "P159", vq="Q100", la=0.0, lo=0.0),
+            _c("Q888002", "P2046", vs="120.5"),                       # has area -> skip
+            _c("Q889001", "P247", vs="1957-001B"),
+            _c("Q889002", "P279", vq="Q2221906"),
+        ]
     )
+    redirects = pd.DataFrame([("Q99100", "Q100")], columns=["from_qid", "to_qid"])
     pages = pd.DataFrame(
         [
             ("en", "Megapolis", "Q100"),
@@ -216,6 +255,8 @@ def generate_wikidata_dim() -> dict[str, pd.DataFrame]:
             ("en", "Stanislav Example", "Q999000"),
             ("en", "Megapolis (disambiguation)", "Q999001"),
             ("en", "Brand Thing", "Q177054"),
+            ("pl", "Township", "Q777001"),
+            ("en", "Megapolis City", None),  # redirect page exists, no own item
         ],
         columns=["lang", "title", "qid"],
     )
@@ -224,11 +265,102 @@ def generate_wikidata_dim() -> dict[str, pd.DataFrame]:
     )
     return {
         "wikidata": wikidata,
+        "wikidata_claims": claims,
         "ontology_edges": edges,
         "wikidata_redirects": redirects,
         "wikipedia_pages": pages,
         "wikipedia_redirects": wp_redirects,
     }
+
+
+def generate_test_elements() -> pd.DataFrame:
+    """Golden element/tag cases (FIXTURES.md §5) with expected error_id.
+
+    expected_error_id None == element is clean; 'FILTERED' == element is
+    dropped by the deletion filter. Citations: the reference's own tests
+    (test_wikimedia_link_issue_reporter.py) pin these ids.
+    """
+    cases = [
+        # (object_type, tags, lat, lon, expected_error_id)
+        ("node", {"wikidata": "Saturn"}, 40.0, -74.0, "malformed wikidata tag"),
+        ("node", {"wikidata": "", "wikipedia": "en:Oslo"}, 40.0, -74.0, "malformed wikidata tag"),
+        ("node", {"wikidata": "Q999999999"}, 40.0, -74.0, "wikidata tag links to 404"),
+        ("node", {"wikipedia": "https://wikipedia.org/wiki/Article"}, 40.0, -74.0, "malformed wikipedia tag"),
+        ("node", {"nonsense:wikidata": "Q999999999"}, 40.0, -74.0, "secondary wikidata tag links to 404"),
+        ("node", {"name:etymology:wikipedia": "https://x.org/wiki/A"}, 40.0, -74.0,
+         "malformed secondary wikipedia tag - for name:etymology prefixed tags"),
+        ("node", {"buried:wikidata": "Q1565289;Q1564970;"}, 40.0, -74.0, None),
+        ("node", {"buried:wikidata": "Q12636988;"}, 40.0, -74.0,
+         "malformed secondary wikidata tag - for buried prefixed tags"),
+        ("node", {"buried:wikidata": "Q1565289; Q1564970"}, 40.0, -74.0,
+         "malformed secondary wikidata tag - for buried prefixed tags"),
+        ("node", {"wikipedia:fixme": "en:Whatever"}, 40.0, -74.0, "invalid old-style wikipedia tag"),
+        ("node", {"wikipedia": "en:Stanislav Example"}, 40.0, -74.0,
+         "should use a secondary wikipedia tag - linking from wikipedia tag to a human"),
+        ("node", {"not:brand:wikidata": "Q177054", "brand:wikidata": "Q177054"}, 40.0, -74.0,
+         "wikipedia/wikidata type tag that is incorrect according to not:* tag"),
+        ("node", {"fixme:wikipedia": "podpern"}, 40.0, -74.0,
+         "something is wrong with wikipedia tag - fixme:wikipedia is present"),
+        ("node", {"note:wikidata": "gibberish"}, 40.0, -74.0, None),
+        ("node", {"source:wikidata": "gibberish"}, 40.0, -74.0, None),
+        ("node", {"wikidata:note": "gibberish"}, 40.0, -74.0, None),
+        ("node", {"wikidata": "Q106617236"}, 40.0, -74.0, None),  # whitelist
+        ("node", {"information": "board", "wikipedia": "en:Megapolis"}, 40.0, -74.0,
+         "information board with wikipedia tag, not subject:wikipedia"),
+        ("node", {"information": "board", "wikidata": "Q100"}, 40.0, -74.0,
+         "information board with wikidata tag, not subject:wikidata"),
+        ("way", {"bridge:wikipedia": "en:Megapolis"}, 40.0, -74.0,
+         "bridge:wikipedia - move to bridge outline"),
+        ("node", {"wikipedia": "en:Megapolis", "wikidata": "Q101"}, 40.0, -74.0,
+         "wikipedia wikidata mismatch"),
+        ("node", {"wikipedia": "en:Megapolis", "wikidata": "Q99100"}, 40.0, -74.0,
+         "wikipedia wikidata mismatch - follow wikidata redirect"),
+        ("node", {"wikipedia": "en:Megapolis City", "wikidata": "Q100"}, 40.0, -74.0,
+         "wikipedia wikidata mismatch - follow wikipedia redirect"),
+        ("node", {"wikipedia": "en:Megapolis (disambiguation)", "wikidata": "Q100"}, 40.0, -74.0,
+         "wikipedia wikidata mismatch - wikipedia points to disambiguation page and wikidata does not"),
+        ("node", {"wikidata": "Q999001"}, 40.0, -74.0, "link to a disambiguation page"),
+        ("node", {"wikidata": "Q999002"}, 40.0, -74.0, "link to a list"),
+        ("node", {"wikidata": "Q7501155"}, 40.0, -74.0, "no longer existing object (according to Wikidata)"),
+        ("node", {"brand:wikidata": "Q7501155;Q6746", "shop": "supermarket"}, 40.0, -74.0,
+         "no longer existing brand (according to Wikidata) - and marked as active shop in OSM"),
+        ("node", {"brand:wikidata": "Q7501155", "disused:shop": "yes"}, 40.0, -74.0, None),
+        ("node", {"wikidata": "Q777001", "teryt:simc": "0000000"}, 52.0, 19.0,
+         "mismatching teryt:simc codes in wikidata and in osm element"),
+        ("node", {"wikidata": "Q777001", "teryt:simc": "0912345", "wikipedia": "en:Megapolis"}, 52.0, 19.0,
+         "wikipedia needs to be updated based on wikidata code and teryt:simc identifier"),
+        ("node", {"wikidata": "Q777002", "teryt:simc": "0912399", "wikipedia": "en:Megapolis"}, 52.1, 19.1,
+         "wikipedia tag needs to be removed based on wikidata code and teryt:simc identifier"),
+        ("node", {"wikidata": "Q888001"}, 40.0, -74.0,
+         "should use a secondary wikipedia tag - linking from wikidata tag to a company that has multiple locations"),
+        ("node", {"wikidata": "Q888002"}, 40.0, -74.0, None),  # P2046 area -> skip HQ check
+        ("node", {"wikidata": "Q889001"}, 40.0, -74.0,
+         "should use a secondary wikipedia tag - linking from wikidata tag to a spacecraft"),
+        ("node", {"wikidata": "Q889002"}, 40.0, -74.0,
+         "should use a secondary wikipedia tag - linking from wikidata tag to an uncoordinable generic object"),
+        ("node", {"wikipedia": "de:Altstadt"}, 52.5, 13.4, "wikidata from wikipedia tag"),
+        ("node", {"wikidata": "Q104"}, -33.9, 151.2, "wikipedia from wikidata tag, unexpected language"),
+        ("node", {"wikidata": BLACKLISTED_FIXTURE_QID}, 40.0, -74.0,
+         "blacklisted connection with known replacement"),
+        ("node", {"wikipedia": "de:Altstadt", "wikidata": "Q101", "wikipedia:de": "Altstadt"}, 52.5, 13.4,
+         "wikipedia tag in an outdated form for removal"),
+        ("node", {"wikipedia:de": "Altstadt"}, 52.5, 13.4,
+         "wikipedia tag from wikipedia tag in an outdated form"),
+        ("node", {"wikipedia": "de:Altstadt", "wikidata": "Q100", "wikipedia:de": "Altstadt"}, 52.5, 13.4,
+         "wikipedia tag in outdated form and there is mismatch between links"),
+        ("relation", {"type": "person", "wikidata": "Saturn"}, 40.0, -74.0, "FILTERED"),
+        ("node", {"name:etymology:wikidata:missing": "yes"}, 40.0, -74.0, "name:etymology:wikidata:missing"),
+        ("node", {"wikipedia": "dk:Something"}, 40.0, -74.0, "wikipedia tag using redirecting language code"),
+        ("node", {"wikipedia": "xx:Something"}, 40.0, -74.0, "malformed wikipedia tag - nonexisting language code"),
+        ("node", {"wikidata": "Q999003"}, 40.0, -74.0, None),  # ambiguous item -> skipped
+    ]
+    return pd.DataFrame(
+        [
+            {"element_id": i, "object_type": ot, "tags": tags, "lat": la, "lon": lo,
+             "expected_error_id": exp}
+            for i, (ot, tags, la, lo, exp) in enumerate(cases)
+        ]
+    )
 
 
 # ------------------------------------------------------------- parquet cache
@@ -243,8 +375,8 @@ def materialize(out_dir: str, n_images: int = 2000) -> dict[str, str]:
     marker = os.path.join(out_dir, f".done_{n_images}")
     paths = {}
     names = ["images", "expected_geotags", "boundaries", "expected_tiles",
-             "wikidata", "ontology_edges", "wikidata_redirects",
-             "wikipedia_pages", "wikipedia_redirects"]
+             "wikidata", "wikidata_claims", "ontology_edges", "wikidata_redirects",
+             "wikipedia_pages", "wikipedia_redirects", "test_elements"]
     for nm in names:
         paths[nm] = os.path.join(out_dir, f"{nm}.parquet")
     if os.path.exists(marker):
@@ -255,7 +387,8 @@ def materialize(out_dir: str, n_images: int = 2000) -> dict[str, str]:
     tiles = expected_tiles(geotags, boundaries)
     dims = generate_wikidata_dim()
     frames = {"images": images, "expected_geotags": geotags,
-              "boundaries": boundaries, "expected_tiles": tiles, **dims}
+              "boundaries": boundaries, "expected_tiles": tiles,
+              "test_elements": generate_test_elements(), **dims}
     for nm, frame in frames.items():
         frame.to_parquet(paths[nm], index=False)
     open(marker, "w").close()
