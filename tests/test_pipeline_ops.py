@@ -1,0 +1,164 @@
+"""Tests for the training-data pipeline operators: dedup, text stats,
+similarity search, kNN, mosaics."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from wikibrain_spark.operators import dedup, knn, mosaic, simsearch, textstats
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+# ------------------------------------------------------------------ textstats
+
+def test_document_stats_deterministic_and_sane(spark, documents):
+    stats = textstats.document_stats(documents).toPandas()
+    assert len(stats) == documents.count()
+    assert (stats["n_tokens"] > 0).all()
+    assert stats["quality"].between(0, 1).all()
+    assert set(stats["lang_detected"]) <= {"en", "es", "de", "und"}
+    assert stats["fp"].str.len().eq(32).all()
+    again = textstats.document_stats(documents).toPandas()
+    pd.testing.assert_frame_equal(
+        stats.sort_values("doc_id").reset_index(drop=True),
+        again.sort_values("doc_id").reset_index(drop=True),
+    )
+
+
+def test_token_count_matches_python(spark):
+    rows = [(1, "  a b   c  "), (2, ""), (3, "one"), (4, "x\ty \n z")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: r["n"] for r in df.select("doc_id", textstats.token_count(F.col("text")).alias("n")).collect()}
+    assert got == {1: 3, 2: 0, 3: 1, 4: 3}
+
+
+# ------------------------------------------------------------------ dedup
+
+def test_exact_duplicates(spark):
+    rows = [(i, "same text here") for i in range(3)] + [(10, "unique one"), (11, "another")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = dedup.exact_duplicates(df).collect()
+    assert len(got) == 1
+    assert got[0]["n_dups"] == 3 and got[0]["canonical_doc_id"] == 0
+
+
+def _jaccard_py(a: str, b: str, n=3) -> float:
+    ga = {a[i:i + n] for i in range(max(len(a) - n + 1, 0))}
+    gb = {b[i:i + n] for i in range(max(len(b) - n + 1, 0))}
+    return len(ga & gb) / len(ga | gb)
+
+
+def test_jaccard_pairs_match_python_oracle(spark):
+    texts = [
+        (0, "en", "the quick brown fox jumps over the lazy dog"),
+        (1, "en", "the quick brown fox jumps over the lazy cat"),
+        (2, "en", "completely different content with nothing shared xyz"),
+        (3, "de", "the quick brown fox jumps over the lazy dog"),  # other lang block
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, lang string, text string")
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard_e4"] for r in dedup.jaccard_pairs(df, threshold=0.5).collect()}
+    expect = int(np.floor(_jaccard_py(texts[0][2], texts[1][2]) * 10000))
+    assert got == {(0, 1): expect}
+
+
+def test_minhash_lsh_finds_near_dups_and_verifies(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away "
+    rows = [(0, "en", base), (1, "en", base + "again"), (2, "en", "zzz totally unrelated qqq www")]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = dedup.minhash_lsh_pairs(df, threshold=0.5).collect()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in got}
+    assert (0, 1) in pairs
+    assert all(p == (0, 1) for p in pairs)
+    # verified jaccard matches the exact kernel
+    exact = int(np.floor(_jaccard_py(rows[0][2], rows[1][2]) * 10000))
+    assert got[0]["jaccard_e4"] == exact
+
+
+def test_simhash_near_pairs(spark, documents):
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta"),
+        (1, "alpha beta gamma delta epsilon zeta eta iota"),   # 1 token differs
+        (2, "one two three four five six seven eight"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash64(df).collect()}
+    assert bin(sh[0] ^ sh[1]).count("1") < bin(sh[0] ^ sh[2]).count("1")
+    pairs = {(r["doc_a"], r["doc_b"]) for r in dedup.simhash_near_pairs(df, max_hamming=16).collect()}
+    assert (0, 1) in pairs and (0, 2) not in pairs
+
+
+# ------------------------------------------------------------------ simsearch
+
+def test_lsh_recall_vs_bruteforce(spark, embeddings):
+    qids = list(range(5))
+    bf = simsearch.cosine_topk_bruteforce(embeddings, qids, k=5).toPandas()
+    lsh = simsearch.cosine_topk_lsh(embeddings, qids, k=5, n_planes=4, n_tables=8).toPandas()
+    bf_set = set(map(tuple, bf[["query_id", "neighbor_id"]].values))
+    lsh_set = set(map(tuple, lsh[["query_id", "neighbor_id"]].values))
+    recall = len(bf_set & lsh_set) / len(bf_set)
+    assert recall >= 0.4  # OR-amplified: 8 tables x 4 planes
+    assert len(bf) == 25  # 5 queries x k=5
+
+
+def test_bruteforce_matches_numpy(spark, embeddings):
+    pdf = embeddings.toPandas()
+    mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    sims = (mat @ mat[0]) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(mat[0]))
+    expected = [int(ids[j]) for j in np.lexsort((ids, -sims)) if ids[j] != 0][:5]
+    got = (
+        simsearch.cosine_topk_bruteforce(embeddings, [0], k=5)
+        .orderBy("rank").toPandas()["neighbor_id"].tolist()
+    )
+    assert got == expected
+
+
+# ------------------------------------------------------------------ knn
+
+def test_kring_knn_matches_bruteforce(spark):
+    rng = np.random.default_rng(3)
+    places = spark.createDataFrame(
+        pd.DataFrame({"place_id": range(300), "lat": rng.uniform(40, 50, 300), "lon": rng.uniform(0, 10, 300)})
+    )
+    queries = spark.createDataFrame(
+        pd.DataFrame({"query_id": range(20), "lat": rng.uniform(42, 48, 20), "lon": rng.uniform(2, 8, 20)})
+    )
+    bf = knn.knn_bruteforce(queries, places, k=3).toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    kr = knn.knn_kring(queries, places, k=3, res=1, ring=1).toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(bf, kr)
+
+
+# ------------------------------------------------------------------ mosaic
+
+def test_cell_mosaics(spark, tmp_path):
+    from wikibrain_spark.operators import geotag
+    from wikibrain_spark.sources import synthetic
+
+    paths = synthetic.materialize(str(tmp_path / "m"), 120)
+    images = spark.read.parquet(paths["images"])
+    pts = geotag.extract_geotags(images, resolutions=(7,), with_s2=False)
+    with_cells = images.join(pts.select("image_id", "cell_r7"), "image_id")
+    m = mosaic.cell_mosaics(with_cells, thumb=8, grid=2).toPandas()
+    assert m["n_images"].sum() <= 120
+    assert (m["n_images"] >= 1).all()
+    from wikibrain_spark import codecs
+
+    arr, meta = codecs.decode_image(m["mosaic"].iloc[0])
+    assert arr.shape == (16, 16, 3) and meta["fmt"] == "pngz"
+    # deterministic: rebuild gives identical bytes
+    m2 = mosaic.cell_mosaics(with_cells, thumb=8, grid=2).toPandas()
+    a = m.sort_values("cell")["mosaic"].apply(bytes).tolist()
+    b = m2.sort_values("cell")["mosaic"].apply(bytes).tolist()
+    assert a == b

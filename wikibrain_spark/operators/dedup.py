@@ -1,0 +1,206 @@
+"""Deduplication operators for training-data pipelines (exact, n-gram
+Jaccard, MinHash+LSH, SimHash) over the `documents` table.
+
+Scale design:
+  - exact: hash-groupBy; map-side partial agg means one shuffled row per
+    distinct hash. O(n).
+  - ngram-jaccard: BLOCKED self-join (same lang + length bucket) — never an
+    unblocked cross join; at 100 TB blocks bound the quadratic term.
+  - MinHash+LSH: signatures via native expressions (xxhash64 over shingles,
+    per-permutation affine min) -> band buckets -> equi-join within buckets
+    -> exact-Jaccard verification. Only the banding join shuffles; candidate
+    count is tunable via (n_perms, n_bands).
+  - SimHash: Arrow-batched NumPy; 16-bit chunk banding for Hamming<=k pairs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 31-bit Mersenne prime: a*h stays < 2^62, safe under ANSI int64 arithmetic
+MERSENNE = (1 << 31) - 1
+
+
+def exact_duplicates(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Groups with >1 identical text: (fp, n_dups, canonical_doc_id)."""
+    return (
+        documents.groupBy(F.md5(F.col(text_col)).alias("fp"))
+        .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("canonical_doc_id"))
+        .where(F.col("n_dups") > 1)
+    )
+
+
+def char_ngrams(text: Column, n: int = 3) -> Column:
+    """Distinct character n-grams as a sorted array (native expression)."""
+    return F.array_sort(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length(text) - (n - 1), F.lit(0))),
+                lambda i: F.substring(text, i, n),
+            )
+        )
+    )
+
+
+def jaccard_pairs(
+    documents: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    bucket_chars: int = 100,
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-duplicate pairs by exact n-gram Jaccard within (lang, length-
+    bucket) blocks: (doc_a, doc_b, jaccard_e4)."""
+    d = documents.select(
+        "doc_id", F.col("lang"),
+        (F.floor(F.length(text_col) / bucket_chars)).alias("lbucket"),
+        char_ngrams(F.col(text_col), n).alias("grams"),
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.lbucket") == F.col("b.lbucket"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    inter = F.size(F.array_intersect("a.grams", "b.grams"))
+    union = F.size(F.array_union("a.grams", "b.grams"))
+    jac = inter / union
+    return pairs.where(jac >= threshold).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.floor(jac * 10000).cast("long").alias("jaccard_e4"),
+    )
+
+
+def _perm_params(n_perms: int, seed: int = 42) -> list[tuple[int, int]]:
+    rng = np.random.default_rng(seed)
+    return [
+        (int(rng.integers(1, MERSENNE)), int(rng.integers(0, MERSENNE)))
+        for _ in range(n_perms)
+    ]
+
+
+def minhash_signature(text: Column, n_perms: int = 16, n: int = 3) -> Column:
+    """array<long> of n_perms minhash values over char n-gram shingles.
+
+    shingle hash = xxhash64 (JVM); permutation h_i = (a_i*h + b_i) mod M61,
+    made non-negative. All native expressions — no Python in the plan.
+    """
+    grams = char_ngrams(text, n)
+    hashes = F.transform(grams, lambda g: F.pmod(F.xxhash64(g), F.lit(MERSENNE)))
+    sig = []
+    for a, b in _perm_params(n_perms):
+        sig.append(
+            F.array_min(
+                F.transform(hashes, lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(MERSENNE)))
+            )
+        )
+    return F.array(*sig)
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame,
+    n_perms: int = 16,
+    n_bands: int = 4,
+    threshold: float = 0.5,
+    ngram: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash banding: docs agreeing on any band become candidates, then
+    exact Jaccard verifies (the standard shingle->minhash->band->bucket-join
+    pipeline). Returns (doc_a, doc_b, jaccard_e4)."""
+    rows_per_band = n_perms // n_bands
+    d = documents.select(
+        "doc_id",
+        char_ngrams(F.col(text_col), ngram).alias("grams"),
+        minhash_signature(F.col(text_col), n_perms, ngram).alias("sig"),
+    )
+    banded = d.select(
+        "doc_id", "grams",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda bnd: F.xxhash64(F.concat_ws("_", F.slice("sig", bnd * rows_per_band + 1, rows_per_band), bnd)),
+            )
+        ).alias("band_id", "band_hash"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
+               & (F.col("a.band_hash") == F.col("b.band_hash"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
+            F.col("a.grams").alias("grams_a"), F.col("b.grams").alias("grams_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect("grams_a", "grams_b"))
+    union = F.size(F.array_union("grams_a", "grams_b"))
+    jac = inter / union
+    return cand.where(jac >= threshold).select(
+        "doc_a", "doc_b", F.floor(jac * 10000).cast("long").alias("jaccard_e4")
+    )
+
+
+# ---------------------------------------------------------------- simhash
+
+def simhash64(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash over whitespace tokens, Arrow-batched NumPy kernel
+    (per-token md5-derived bit vectors, sign of weighted bit sums)."""
+
+    def batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for b in batches:
+            out = np.zeros(len(b), dtype=np.int64)
+            for i, text in enumerate(b[text_col]):
+                toks = str(text).lower().split()
+                if not toks:
+                    continue
+                acc = np.zeros(64, dtype=np.int64)
+                for t in set(toks):
+                    h = np.uint64(int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little"))
+                    bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+                    acc += np.where(bits == np.uint64(1), 1, -1)
+                val = int((acc > 0).astype(np.uint64) @ (np.uint64(1) << np.arange(64, dtype=np.uint64)))
+                out[i] = val - (1 << 64) if val >= (1 << 63) else val
+            yield pd.DataFrame({"doc_id": b["doc_id"], "simhash": out})
+
+    return documents.select("doc_id", text_col).mapInPandas(batch, "doc_id long, simhash long")
+
+
+def simhash_near_pairs(documents: DataFrame, max_hamming: int = 3, text_col: str = "text") -> DataFrame:
+    """Candidate pairs by 16-bit chunk banding (any identical chunk => at
+    most 48 differing bits concentrated in 3 chunks — standard pigeonhole:
+    hamming<=3 guarantees >=1 of 4 chunks equal), verified by exact
+    popcount. Returns (doc_a, doc_b, hamming)."""
+    sh = simhash64(documents, text_col)
+    chunks = sh.select(
+        "doc_id", "simhash",
+        F.posexplode(
+            F.array(*[F.shiftrightunsigned("simhash", k * 16).bitwiseAND(F.lit(0xFFFF)) for k in range(4)])
+        ).alias("chunk_id", "chunk"),
+    )
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cand = (
+        a.join(b, (F.col("a.chunk_id") == F.col("b.chunk_id"))
+               & (F.col("a.chunk") == F.col("b.chunk"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"), F.col("b.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.where(hamming <= max_hamming).select("doc_a", "doc_b", hamming.alias("hamming"))

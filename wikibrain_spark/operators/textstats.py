@@ -1,0 +1,104 @@
+"""Text-analysis operators for training-data pipelines over `documents`.
+
+Every function here is a pure Column expression (JVM, codegen) chosen so an
+ANSI-SQL oracle can reproduce it bit-for-bit in DuckDB (the driver's
+correctness gate). Ratios use length-difference tricks instead of UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# marker tokens per language for the n-gram/stopword language-ID heuristic;
+# counting marker occurrences is expressible identically in Spark and SQL
+LANG_MARKERS = {
+    "en": [" the ", " and ", " of "],
+    "es": [" el ", " la ", " de "],
+    "de": [" der ", " und ", " die "],
+}
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count; empty/blank -> 0."""
+    t = F.trim(text)
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, "\\s+", -1)))
+
+
+def _count_occurrences(text: Column, marker: str) -> Column:
+    return (F.length(text) - F.length(F.replace(text, F.lit(marker), F.lit("")))) / len(marker)
+
+
+def marker_counts(text: Column) -> dict[str, Column]:
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        c = F.lit(0.0)
+        for m in markers:
+            c = c + _count_occurrences(padded, m)
+        out[lang] = c
+    return out
+
+
+def detected_lang(text: Column) -> Column:
+    """argmax over marker counts; ties broken by language name order; no
+    markers at all -> 'und' (undetermined)."""
+    counts = marker_counts(text)
+    langs = sorted(counts)
+    best = F.lit("und")
+    best_n = F.lit(0.0)
+    for lang in langs:
+        is_better = counts[lang] > best_n
+        best = F.when(is_better, F.lit(lang)).otherwise(best)
+        best_n = F.when(is_better, counts[lang]).otherwise(best_n)
+    return best
+
+
+def alpha_ratio(text: Column) -> Column:
+    n = F.length(text)
+    alpha = n - F.length(F.regexp_replace(text, "[A-Za-z]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(alpha / n)
+
+
+def digit_ratio(text: Column) -> Column:
+    n = F.length(text)
+    dig = n - F.length(F.regexp_replace(text, "[0-9]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(dig / n)
+
+
+def avg_token_len(text: Column) -> Column:
+    toks = token_count(text)
+    chars = F.length(F.regexp_replace(F.trim(text), "\\s+", ""))
+    return F.when(toks == 0, F.lit(0.0)).otherwise(chars / toks)
+
+
+def quality_score(text: Column) -> Column:
+    """Deterministic quality heuristic in [0,1]: favors alphabetic text with
+    mid-length tokens and enough tokens; penalizes digit soup."""
+    toks = token_count(text)
+    score = (
+        alpha_ratio(text) * 0.5
+        + (1.0 - digit_ratio(text)) * 0.2
+        + F.least(toks / F.lit(50.0), F.lit(1.0)) * 0.3
+    )
+    return F.round(score * 1000).cast("long") / 1000.0  # stable across engines
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of lowercased whitespace-collapsed text
+    (the rolling-hash analogue, identical in DuckDB)."""
+    return F.md5(F.lower(F.regexp_replace(F.trim(text), "\\s+", " ")))
+
+
+def document_stats(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    t = F.col(text_col)
+    return documents.select(
+        "doc_id",
+        token_count(t).alias("n_tokens"),
+        F.length(t).alias("n_chars_actual"),
+        F.round(alpha_ratio(t) * 1000).cast("long").alias("alpha_permille"),
+        F.round(digit_ratio(t) * 1000).cast("long").alias("digit_permille"),
+        quality_score(t).alias("quality"),
+        detected_lang(t).alias("lang_detected"),
+        fingerprint(t).alias("fp"),
+    )
