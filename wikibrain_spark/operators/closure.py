@@ -47,7 +47,7 @@ def p279_closure(
         e = F.broadcast(e)
 
     nodes = e.select(F.col("child").alias("qid")).union(e.select("parent")).distinct()
-    closure = nodes.select("qid", F.col("qid").alias("ancestor")).persist()
+    closure = nodes.select("qid", F.col("qid").alias("ancestor")).localCheckpoint()
     frontier = closure
 
     for i in range(max_iterations):
@@ -56,12 +56,15 @@ def p279_closure(
             .select("qid", F.col("parent").alias("ancestor"))
             .distinct()
         )
-        new = step.join(closure, ["qid", "ancestor"], "left_anti").persist()
-        if i % checkpoint_every == checkpoint_every - 1:
-            new = new.localCheckpoint()
+        # eager localCheckpoint each round: materializes AND truncates the
+        # lineage — without it the plan depth grows linearly and planning/
+        # codegen costs blow up long before the data does
+        new = step.join(closure, ["qid", "ancestor"], "left_anti").localCheckpoint()
         if new.isEmpty():
             break
-        closure = closure.union(new).persist()
+        closure = closure.union(new)
+        if i % checkpoint_every == checkpoint_every - 1:
+            closure = closure.localCheckpoint()
         frontier = new
     return closure
 

@@ -79,6 +79,39 @@ def jaccard_pairs(
     )
 
 
+def token_jaccard_pairs(
+    documents: DataFrame,
+    threshold: float = 0.3,
+    bucket_chars: int = 200,
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-duplicate pairs by distinct-token Jaccard within (lang, length-
+    bucket) blocks: (doc_a, doc_b, jaccard_e4). Token-set variant of
+    jaccard_pairs; its set algebra is expressible in ANSI SQL for the
+    oracle gate."""
+    d = documents.select(
+        "doc_id", F.col("lang"),
+        (F.floor(F.length(text_col) / bucket_chars)).alias("lbucket"),
+        F.array_sort(F.array_distinct(F.split(F.trim(F.col(text_col)), "\\s+", -1))).alias("toks"),
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.lbucket") == F.col("b.lbucket"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    inter = F.size(F.array_intersect("a.toks", "b.toks"))
+    union = F.size("a.toks") + F.size("b.toks") - inter
+    jac = inter / union
+    return pairs.where(jac >= threshold).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.floor(jac * 10000).cast("long").alias("jaccard_e4"),
+    )
+
+
 def _perm_params(n_perms: int, seed: int = 42) -> list[tuple[int, int]]:
     rng = np.random.default_rng(seed)
     return [

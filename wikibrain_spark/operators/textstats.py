@@ -81,7 +81,8 @@ def quality_score(text: Column) -> Column:
         + (1.0 - digit_ratio(text)) * 0.2
         + F.least(toks / F.lit(50.0), F.lit(1.0)) * 0.3
     )
-    return F.round(score * 1000).cast("long") / 1000.0  # stable across engines
+    # floor, not round: round() half-up/half-even differs across engines
+    return F.floor(score * 1000).cast("long") / 1000.0
 
 
 def fingerprint(text: Column) -> Column:
@@ -96,8 +97,8 @@ def document_stats(documents: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id",
         token_count(t).alias("n_tokens"),
         F.length(t).alias("n_chars_actual"),
-        F.round(alpha_ratio(t) * 1000).cast("long").alias("alpha_permille"),
-        F.round(digit_ratio(t) * 1000).cast("long").alias("digit_permille"),
+        F.floor(alpha_ratio(t) * 1000).cast("long").alias("alpha_permille"),
+        F.floor(digit_ratio(t) * 1000).cast("long").alias("digit_permille"),
         quality_score(t).alias("quality"),
         detected_lang(t).alias("lang_detected"),
         fingerprint(t).alias("fp"),
