@@ -1,0 +1,109 @@
+#!/usr/bin/env python3
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The flagship is the north-star pipeline (image geotag UDF -> hexlite cells
+-> broadcast PIP join -> tile assignment); its throughput is also reported
+as flagship_rows_per_sec. Results are materialized with the noop sink so
+timings measure execution, not driver-side collection.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def _materialize(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    sf = _sf_of(sf_dir)
+
+    from wikibrain_spark.session import get_spark
+
+    spark = get_spark("wikibrain-bench", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as em
+    from pyspark.sql import functions as F
+    from wikibrain_spark.operators import geotag, spatial_join
+    from wikibrain_spark.sources import synthetic
+
+    # ---- flagship: image table scaled to the SF (sf0.1 -> 20k images)
+    n_images = max(2000, int(200_000 * sf))
+    paths = synthetic.materialize(os.path.join(REPO, "data", f"bench_{n_images}"), n_images)
+    images = spark.read.parquet(paths["images"])
+    boundaries = spark.read.parquet(paths["boundaries"])
+
+    # warm the JVM/Arrow path so query timings aren't startup-dominated
+    _materialize(spark.range(1_000_000).select(F.sum("id").alias("s")))
+    _materialize(geotag.extract_geotags(images.limit(512), with_s2=False))
+
+    timings: dict[str, float] = {}
+
+    t0 = time.time()
+    tiles = spatial_join.tile_assignments(
+        geotag.extract_geotags(images, with_s2=False), boundaries, res=9, strategy="broadcast"
+    )
+    _materialize(tiles)
+    timings["flagship_geotag_pip_tiles"] = round(time.time() - t0, 3)
+    flagship_rows_per_sec = round(n_images / timings["flagship_geotag_pip_tiles"], 1)
+
+    t0 = time.time()
+    _materialize(
+        spatial_join.shuffle_pip_join(
+            geotag.extract_geotags(images, with_s2=False),
+            boundaries, hot_cell_threshold=max(1000, n_images // 20), n_salt=8,
+        )
+    )
+    timings["flagship_shuffle_salted_pip"] = round(time.time() - t0, 3)
+
+    # ---- headline operator queries on the driver's testdata
+    headline = [
+        "q_pricing_summary", "q_top_customer_revenue", "q_order_priority_window",
+        "q_cells_r7", "q_tile_stats", "q_pip_rectangles", "q_pip_shuffle_salted",
+        "q_knn", "q_closure", "q_doc_stats", "q_dedup_exact", "q_dedup_jaccard",
+        "q_dedup_minhash", "q_ann_topk", "q_malformed_check", "q_apply_changes",
+    ]
+    qs = em.queries()
+    for name in headline:
+        t0 = time.time()
+        _materialize(qs[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "flagship_rows_per_sec": flagship_rows_per_sec,
+        "flagship_images": n_images,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

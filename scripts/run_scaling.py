@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Scaling-efficiency evidence (BASELINE.json gate: efficiency >= 0.8 from
+N to 4N executors). No real cluster exists in this sandbox, so per the
+driver protocol the SAME jobs run on the SAME input at local[8] and
+local[32]; throughput at both plus efficiency goes to BENCH/BASELINE.md.
+
+Each level runs in a fresh subprocess (own JVM). Efficiency for an N->4N
+core scale-up = speedup / 4.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+from datetime import datetime, timezone
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+N_IMAGES = int(os.environ.get("SCALING_IMAGES", 100_000))
+LEVELS = (8, 32)
+
+
+def run_level(cpus: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "scaling_worker.py"), str(cpus), str(N_IMAGES)],
+        capture_output=True, text=True, check=True,
+    )
+    line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    results = {c: run_level(c) for c in LEVELS}
+    lo, hi = results[LEVELS[0]], results[LEVELS[1]]
+    ratio = LEVELS[1] / LEVELS[0]
+
+    jobs = [
+        ("flagship geotag→PIP→tiles", "flagship_tiles_sec", "flagship_rows_per_sec"),
+        ("full image decode + stats", "decode_stats_sec", "decode_rows_per_sec"),
+        ("lineitem group-agg (sf0.1)", "lineitem_agg_sec", None),
+    ]
+    lines = [
+        "# BENCH/BASELINE — scaling evidence",
+        "",
+        f"Generated {datetime.now(timezone.utc).isoformat(timespec='seconds')} by scripts/run_scaling.py.",
+        "",
+        "No real cluster exists in this sandbox; per the driver protocol the",
+        f"same jobs ran on the same input ({hi['n_images']} images + sf0.1 tables)",
+        f"at local[{LEVELS[0]}] and local[{LEVELS[1]}] in fresh JVMs. Scaling",
+        f"efficiency = speedup / {ratio:.0f} for the {LEVELS[0]}→{LEVELS[1]}-core scale-up",
+        "(the sandbox analogue of N→4N executors, BASELINE.json:14).",
+        "",
+        f"| job | local[{LEVELS[0]}] sec | local[{LEVELS[1]}] sec | speedup | efficiency |",
+        "|---|---|---|---|---|",
+    ]
+    effs = []
+    for label, key, _tp in jobs:
+        sp = lo[key] / hi[key]
+        eff = sp / ratio
+        effs.append((label, eff))
+        lines.append(f"| {label} | {lo[key]} | {hi[key]} | {sp:.2f}x | {eff:.2f} |")
+    lines += [
+        "",
+        f"| throughput | local[{LEVELS[0]}] | local[{LEVELS[1]}] |",
+        "|---|---|---|",
+        f"| flagship rows/sec | {lo['flagship_rows_per_sec']} | {hi['flagship_rows_per_sec']} |",
+        f"| decode rows/sec | {lo['decode_rows_per_sec']} | {hi['decode_rows_per_sec']} |",
+        "",
+        "Raw JSON:",
+        "```json",
+        json.dumps(results, indent=2),
+        "```",
+    ]
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    print(json.dumps({"levels": results, "efficiency": {l: round(e, 3) for l, e in effs}}))
+
+
+if __name__ == "__main__":
+    main()

@@ -120,14 +120,16 @@ def _perm_params(n_perms: int, seed: int = 42) -> list[tuple[int, int]]:
     ]
 
 
-def minhash_signature(text: Column, n_perms: int = 16, n: int = 3) -> Column:
-    """array<long> of n_perms minhash values over char n-gram shingles.
+def shingle_hashes(text: Column, n: int = 3) -> Column:
+    """char n-grams -> array of non-negative 31-bit hashes (xxhash64 mod M31)."""
+    return F.transform(char_ngrams(text, n), lambda g: F.pmod(F.xxhash64(g), F.lit(MERSENNE)))
 
-    shingle hash = xxhash64 (JVM); permutation h_i = (a_i*h + b_i) mod M61,
-    made non-negative. All native expressions — no Python in the plan.
-    """
-    grams = char_ngrams(text, n)
-    hashes = F.transform(grams, lambda g: F.pmod(F.xxhash64(g), F.lit(MERSENNE)))
+
+def minhash_from_hashes(hashes: Column, n_perms: int = 16) -> Column:
+    """array<long> of n_perms minhash values. Pass a materialized `hashes`
+    COLUMN (not the expression) — inlining the shingle subtree n_perms times
+    blows up codegen. Permutation h_i = (a_i*h + b_i) mod M31; all native
+    expressions, no Python in the plan."""
     sig = []
     for a, b in _perm_params(n_perms):
         sig.append(
@@ -136,6 +138,11 @@ def minhash_signature(text: Column, n_perms: int = 16, n: int = 3) -> Column:
             )
         )
     return F.array(*sig)
+
+
+def minhash_signature(text: Column, n_perms: int = 16, n: int = 3) -> Column:
+    """Convenience wrapper; prefer staging shingle_hashes as a column first."""
+    return minhash_from_hashes(shingle_hashes(text, n), n_perms)
 
 
 def minhash_lsh_pairs(
@@ -150,10 +157,13 @@ def minhash_lsh_pairs(
     exact Jaccard verifies (the standard shingle->minhash->band->bucket-join
     pipeline). Returns (doc_a, doc_b, jaccard_e4)."""
     rows_per_band = n_perms // n_bands
-    d = documents.select(
-        "doc_id",
-        char_ngrams(F.col(text_col), ngram).alias("grams"),
-        minhash_signature(F.col(text_col), n_perms, ngram).alias("sig"),
+    # staged: grams -> hashes -> sig, each a materialized column so the
+    # shingle subtree appears once in the plan, not n_perms times
+    d = (
+        documents.select("doc_id", char_ngrams(F.col(text_col), ngram).alias("grams"))
+        .withColumn("hashes", F.transform("grams", lambda g: F.pmod(F.xxhash64(g), F.lit(MERSENNE))))
+        .withColumn("sig", minhash_from_hashes(F.col("hashes"), n_perms))
+        .drop("hashes")
     )
     banded = d.select(
         "doc_id", "grams",

@@ -1,0 +1,86 @@
+"""Structured Streaming front-end for the geotag->tile pipeline.
+
+The reference is batch-only (SURVEY.md §2.8); this is the incremental
+variant a 100 TB ingest needs: new image files land in a directory
+(or an object-store prefix / Kafka topic at scale), are geotagged with the
+SAME mapInPandas kernel as the batch path, and roll up into per-cell
+counts with event-time watermarking for late data.
+
+The batch and streaming paths share all operator code — only the source
+(read vs readStream) and sink differ, which is the Structured Streaming
+contract.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wikibrain_spark import codecs
+from wikibrain_spark.geo import cells
+
+# event_time arrives as epoch microseconds (int64) — parquet timestamp
+# physical encodings vary by writer; an explicit integer column is portable
+IMAGE_SCHEMA = (
+    "image_id string, bytes binary, w int, h int, fmt string, "
+    "caption string, phash long, event_time_us long"
+)
+
+
+def streaming_geotags(spark: SparkSession, source_dir: str, res: int = 7) -> DataFrame:
+    """readStream over an image-file directory -> geotagged stream."""
+    stream = (
+        spark.readStream.schema(IMAGE_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(source_dir)
+    )
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            lat, lon = codecs.extract_geotags_batch(b["bytes"].tolist())
+            yield pd.DataFrame(
+                {"image_id": b["image_id"], "lat": lat, "lon": lon,
+                 "event_time_us": b["event_time_us"]}
+            )
+
+    tagged = stream.select("image_id", "bytes", "event_time_us").mapInPandas(
+        parse, "image_id string, lat double, lon double, event_time_us long"
+    )
+    return tagged.withColumn("event_time", F.timestamp_micros("event_time_us")).withColumn(
+        "cell", cells.hexlite_cell_col(F.col("lat"), F.col("lon"), res)
+    )
+
+
+def streaming_tile_counts(
+    spark: SparkSession,
+    source_dir: str,
+    res: int = 7,
+    window_duration: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Windowed per-cell image counts with a watermark for late arrivals."""
+    tagged = streaming_geotags(spark, source_dir, res)
+    return (
+        tagged.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", window_duration).alias("win"), "cell")
+        .agg(F.count("*").alias("n_images"))
+        .select(F.col("win.start").alias("window_start"), "cell", "n_images")
+    )
+
+
+def run_stream_once(df: DataFrame, checkpoint_dir: str, table_name: str = "tile_counts"):
+    """Drain all available input (Trigger.AvailableNow) into a memory sink —
+    the test/bench harness entrypoint; swap sink for parquet/Iceberg in prod."""
+    q = (
+        df.writeStream.outputMode("complete" if table_name else "append")
+        .format("memory")
+        .queryName(table_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
