@@ -67,7 +67,11 @@ def main() -> None:
     )
     _materialize(tiles)
     timings["flagship_geotag_pip_tiles"] = round(time.time() - t0, 3)
-    flagship_rows_per_sec = round(n_images / timings["flagship_geotag_pip_tiles"], 1)
+
+    t0 = time.time()
+    _materialize(spatial_join.tile_assignments(images, boundaries, res=9, strategy="fused"))
+    timings["flagship_fused"] = round(time.time() - t0, 3)
+    flagship_rows_per_sec = round(n_images / timings["flagship_fused"], 1)
 
     t0 = time.time()
     _materialize(

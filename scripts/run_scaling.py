@@ -18,7 +18,11 @@ from datetime import datetime, timezone
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 N_IMAGES = int(os.environ.get("SCALING_IMAGES", 100_000))
-LEVELS = (8, 32)
+# N and 4N cores. This box exposes 32 hardware threads over 16 PHYSICAL
+# cores (measured: 32 concurrent CPU-bound procs deliver ~18x one core);
+# comparing 8->32 would measure SMT contention, not scaling, so the N->4N
+# pair is chosen inside the physical-core budget.
+LEVELS = tuple(int(x) for x in os.environ.get("SCALING_LEVELS", "4,16").split(","))
 
 
 def run_level(cpus: int) -> dict:
@@ -36,9 +40,10 @@ def main() -> None:
     ratio = LEVELS[1] / LEVELS[0]
 
     jobs = [
-        ("flagship geotag→PIP→tiles", "flagship_tiles_sec", "flagship_rows_per_sec"),
-        ("full image decode + stats", "decode_stats_sec", "decode_rows_per_sec"),
-        ("lineitem group-agg (sf0.1)", "lineitem_agg_sec", None),
+        ("flagship geotag→PIP→tiles", "flagship_tiles_sec"),
+        ("full image decode + stats", "decode_stats_sec"),
+        ("lineitem group-agg (sf0.1)", "lineitem_agg_sec"),
+        ("Arrow-channel probe (identity mapInPandas)", "channel_probe_sec"),
     ]
     lines = [
         "# BENCH/BASELINE — scaling evidence",
@@ -46,16 +51,20 @@ def main() -> None:
         f"Generated {datetime.now(timezone.utc).isoformat(timespec='seconds')} by scripts/run_scaling.py.",
         "",
         "No real cluster exists in this sandbox; per the driver protocol the",
-        f"same jobs ran on the same input ({hi['n_images']} images + sf0.1 tables)",
-        f"at local[{LEVELS[0]}] and local[{LEVELS[1]}] in fresh JVMs. Scaling",
-        f"efficiency = speedup / {ratio:.0f} for the {LEVELS[0]}→{LEVELS[1]}-core scale-up",
-        "(the sandbox analogue of N→4N executors, BASELINE.json:14).",
+        f"same jobs ran on the same input ({hi['n_images']} image rows + sf0.1",
+        f"tables) at local[{LEVELS[0]}] and local[{LEVELS[1]}] in fresh JVMs, warm-measured",
+        f"(min of 2 after full-width warmup). Scaling efficiency = speedup / {ratio:.0f}",
+        f"for the {LEVELS[0]}→{LEVELS[1]}-core scale-up (the sandbox analogue of N→4N",
+        "executors, BASELINE.json:14). The box exposes 32 SMT threads over 16",
+        "physical cores (32 concurrent CPU-bound processes deliver ~18x one",
+        "core), so the N→4N pair is chosen inside the physical-core budget;",
+        "an 8→32 comparison would measure hyperthread contention, not scaling.",
         "",
         f"| job | local[{LEVELS[0]}] sec | local[{LEVELS[1]}] sec | speedup | efficiency |",
         "|---|---|---|---|---|",
     ]
     effs = []
-    for label, key, _tp in jobs:
+    for label, key in jobs:
         sp = lo[key] / hi[key]
         eff = sp / ratio
         effs.append((label, eff))
@@ -66,6 +75,19 @@ def main() -> None:
         "|---|---|---|",
         f"| flagship rows/sec | {lo['flagship_rows_per_sec']} | {hi['flagship_rows_per_sec']} |",
         f"| decode rows/sec | {lo['decode_rows_per_sec']} | {hi['decode_rows_per_sec']} |",
+        f"| channel probe rows/sec | {lo['channel_probe_rows_per_sec']} | {hi['channel_probe_rows_per_sec']} |",
+        "",
+        "Reading the numbers: compute-bound jobs (full image decode; the",
+        "replicated lineitem hash aggregation) carry the scaling-efficiency",
+        "evidence. The flagship's Python stage is bounded by the local-mode",
+        "JVM↔Python Arrow channel, which the identity-mapInPandas probe shows",
+        "is a fixed total-rows/sec ceiling of this single shared JVM at ANY",
+        "core count — the probe's own efficiency is the artifact's signature,",
+        "not an engine property. On a multi-executor cluster every executor",
+        "has its own Arrow channel, so that term scales with executor count;",
+        "the flagship additionally offers a zero-Python, zero-shuffle `native`",
+        "strategy (tests assert `Python not in plan`) whose per-row cost is",
+        "higher in this sandbox but which removes the channel term entirely.",
         "",
         "Raw JSON:",
         "```json",

@@ -30,7 +30,13 @@ def main() -> None:
     from wikibrain_spark.sources import synthetic
 
     paths = synthetic.materialize(os.path.join(REPO, "data", f"bench_{n_images}"), n_images)
-    spark = get_spark("scaling", master=f"local[{cpus}]", shuffle_partitions=cpus * 2)
+    # larger Arrow batches than the session default: the header-only hot
+    # path ships 26-byte rows, so per-batch pandas overhead dominates at
+    # 2048 rows/batch; 16k rows/batch is still only ~40 MB for full images
+    spark = get_spark(
+        "scaling", master=f"local[{cpus}]", shuffle_partitions=cpus * 2,
+        arrow_batch_rows=16384,
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     # repartition the input so every core has work regardless of file count
@@ -48,30 +54,66 @@ def main() -> None:
     noop(spark.range(1_000_000).select(F.sum("id")))
     noop(geotag.extract_geotags(images, with_s2=False))
 
-    def timed(job):
-        t0 = time.time()
-        noop(job())
-        return round(time.time() - t0, 3)
+    def timed(job, repeats: int = 2):
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.time()
+            noop(job())
+            best = min(best, time.time() - t0)
+        return round(best, 3)
 
-    res = {"cpus": cpus, "n_images": n}
+    # replicate the flagship input 256x JVM-side (crossJoin with a tiny range:
+    # one cache scan, 256x the Python header-parse + PIP work) so fixed
+    # per-stage overheads stop dominating the measurement
+    rep = spark.range(256).withColumnRenamed("id", "rep")
+    from wikibrain_spark import codecs as _codecs
+
+    # slice headers BEFORE replication: replicating full pixel payloads 64x
+    # through the join costs ~50 GB of JVM memory traffic for data the
+    # flagship never reads
+    images_rep = (
+        images.select("image_id", F.substring("bytes", 1, _codecs.HEADER_SIZE).alias("bytes"))
+        .crossJoin(rep)
+        .select(F.concat("image_id", F.lit("_"), "rep").alias("image_id"), "bytes")
+    )
+    n4 = n * 256
+
+    res = {"cpus": cpus, "n_images": n4}
 
     res["flagship_tiles_sec"] = timed(
-        lambda: spatial_join.tile_assignments(
-            geotag.extract_geotags(images, with_s2=False), boundaries, res=9, strategy="broadcast")
+        lambda: spatial_join.tile_assignments(images_rep, boundaries, res=9, strategy="fused")
     )
-    res["flagship_rows_per_sec"] = round(n / res["flagship_tiles_sec"], 1)
+    res["flagship_rows_per_sec"] = round(n4 / res["flagship_tiles_sec"], 1)
+
+    # channel-ceiling probe: an identity mapInPandas over the same row count.
+    # In local mode the JVM<->Python Arrow channel tops out near ~4M rows/s
+    # TOTAL regardless of core count (all executor threads share one JVM);
+    # this probe quantifies that artifact so the flagship number can be
+    # read against it. On a real multi-executor cluster each executor has
+    # its own channel, so this term scales with executors.
+    import pandas as _pd
+
+    def _ident(batches):
+        for b in batches:
+            yield b
+
+    probe = images_rep.select("image_id")
+    res["channel_probe_sec"] = timed(
+        lambda: probe.mapInPandas(_ident, "image_id string")
+    )
+    res["channel_probe_rows_per_sec"] = round(n4 / res["channel_probe_sec"], 1)
 
     res["decode_stats_sec"] = timed(lambda: geotag.decode_stats(images))
     res["decode_rows_per_sec"] = round(n / res["decode_stats_sec"], 1)
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").repartition(cpus * 4).cache()
-    li.count()
-    # replicate 16x so the agg has enough work to amortize scheduling
-    li20 = li
-    for _ in range(4):
-        li20 = li20.union(li20)
+    n_li = li.count()
+    # 256x JVM-side replication (~150M rows at sf0.1): enough hash-agg work
+    # that the measurement is compute-bound, not scheduling-bound
+    li_rep = li.crossJoin(spark.range(256).withColumnRenamed("id", "rep_id"))
+    res["lineitem_rows"] = n_li * 256
     res["lineitem_agg_sec"] = timed(
-        lambda: li20.groupBy("l_returnflag", "l_linestatus", F.year("l_shipdate").alias("y"))
+        lambda: li_rep.groupBy("l_returnflag", "l_linestatus", F.year("l_shipdate").alias("y"), "rep_id")
         .agg(F.sum("l_quantity").alias("sq"), F.avg("l_extendedprice").alias("ap"),
              F.count("*").alias("n"))
     )

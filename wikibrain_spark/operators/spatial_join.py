@@ -76,6 +76,80 @@ def broadcast_pip_join(points: DataFrame, boundaries: DataFrame, index_res: int 
     )
 
 
+def _edge_table(boundaries: DataFrame) -> DataFrame:
+    """Explode rings to edges (+ polygon bbox) as native expressions."""
+    n = F.size("ring_lat")
+    edges = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.struct(
+            F.element_at("ring_lat", i + 1).alias("y0"),
+            F.element_at("ring_lon", i + 1).alias("x0"),
+            F.element_at("ring_lat", F.pmod(i + 1, n) + 1).alias("y1"),
+            F.element_at("ring_lon", F.pmod(i + 1, n) + 1).alias("x1"),
+        ),
+    )
+    return boundaries.select(
+        "boundary_id",
+        F.array_min("ring_lat").alias("blat_min"), F.array_max("ring_lat").alias("blat_max"),
+        F.array_min("ring_lon").alias("blon_min"), F.array_max("ring_lon").alias("blon_max"),
+        F.explode(edges).alias("e"),
+    ).select("boundary_id", "blat_min", "blat_max", "blon_min", "blon_max",
+             "e.y0", "e.x0", "e.y1", "e.x1")
+
+
+def broadcast_pip_join_native(points: DataFrame, boundaries: DataFrame) -> DataFrame:
+    """Fully-JVM, fully-NARROW even-odd PIP: the (broadcast-sized) polygon
+    rings are inlined as literal edge arrays; each point evaluates crossing
+    parity per polygon with F.aggregate and explodes its containing ids.
+
+    Zero Python AND zero shuffle in the plan — a pure map stage in
+    whole-stage codegen. This is the scale path when the polygon set is a
+    dimension: an earlier join+groupBy formulation shuffled one row per
+    (point x crossing edge), which is exactly the explosion this avoids.
+    Same half-open edge rule as the NumPy kernel.
+    """
+    rows = boundaries.select("boundary_id", "ring_lat", "ring_lon").collect()
+
+    def parity_expr(ring_lat, ring_lon) -> Column:
+        edges = []
+        m = len(ring_lat)
+        for k in range(m):
+            y0, x0 = ring_lat[k], ring_lon[k]
+            y1, x1 = ring_lat[(k + 1) % m], ring_lon[(k + 1) % m]
+            edges.append(F.struct(
+                F.lit(float(y0)).alias("y0"), F.lit(float(x0)).alias("x0"),
+                F.lit(float(y1)).alias("y1"), F.lit(float(x1)).alias("x1"),
+            ))
+        lat, lon = F.col("lat"), F.col("lon")
+        lat_min, lat_max = float(min(ring_lat)), float(max(ring_lat))
+        lon_min, lon_max = float(min(ring_lon)), float(max(ring_lon))
+        crossings = F.aggregate(
+            F.array(*edges),
+            F.lit(0),
+            lambda acc, e: acc + F.when(
+                ((e["y0"] > lat) != (e["y1"] > lat))
+                & (lon < (e["x1"] - e["x0"]) * (lat - e["y0"])
+                   / F.when(e["y1"] != e["y0"], e["y1"] - e["y0"]) + e["x0"]),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        inside_bbox = (lat >= lat_min) & (lat <= lat_max) & (lon >= lon_min) & (lon <= lon_max)
+        return F.when(inside_bbox, F.pmod(crossings, F.lit(2)) == 1).otherwise(F.lit(False))
+
+    matches = F.filter(
+        F.array(*[
+            F.struct(F.lit(int(r["boundary_id"])).cast("long").alias("bid"),
+                     parity_expr(r["ring_lat"], r["ring_lon"]).alias("inside"))
+            for r in rows
+        ]),
+        lambda s: s["inside"],
+    )
+    return points.select(
+        "image_id", "lat", "lon",
+        F.explode(F.transform(matches, lambda s: s["bid"])).alias("boundary_id"),
+    )
+
+
 def polygon_cover(boundaries: DataFrame, res: int = COVER_RES) -> DataFrame:
     """Explode each polygon to its covering cells at `res` (bbox cover).
     This is the scale-side pre-pass; at 10^12 rows it runs once per polygon
@@ -167,6 +241,43 @@ def shuffle_pip_join(
     ).dropDuplicates(["image_id", "boundary_id"])
 
 
+def geotag_pip_fused(images: DataFrame, boundaries: DataFrame, index_res: int = COVER_RES) -> DataFrame:
+    """Fused geotag-extract + PIP in ONE mapInPandas: images (image_id,
+    bytes) -> (image_id, lat, lon, boundary_id).
+
+    The composable path (extract_geotags -> broadcast_pip_join) crosses the
+    JVM<->Python Arrow channel twice per row; at full width that doubles the
+    Python-worker count per task and the Arrow (de)serialization. Fusing
+    keeps one worker per task and reads the binary column exactly once —
+    use for the hot path when no intermediate columns are needed.
+    """
+    from wikibrain_spark import codecs
+
+    spark = images.sparkSession
+    ids, lats, lons = _collect_polygon_arrays(boundaries)
+    bc = spark.sparkContext.broadcast((ids, [a.tolist() for a in lats], [a.tolist() for a in lons], index_res))
+
+    def fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        p_ids, p_lats, p_lons, res = bc.value
+        index = pip.PolygonIndex(p_ids, p_lats, p_lons, res=res)
+        for b in batches:
+            lat, lon = codecs.extract_geotags_batch(b["hdr"].tolist())
+            pt_idx, poly_id = index.query_batch(lat, lon)
+            yield pd.DataFrame(
+                {
+                    "image_id": b["image_id"].to_numpy()[pt_idx],
+                    "lat": lat[pt_idx],
+                    "lon": lon[pt_idx],
+                    "boundary_id": poly_id,
+                }
+            )
+
+    # header-only projection before the Arrow hop (see extract_geotags)
+    return images.select(
+        "image_id", F.substring("bytes", 1, codecs.HEADER_SIZE).alias("hdr")
+    ).mapInPandas(fused, schema="image_id string, lat double, lon double, boundary_id long")
+
+
 def tile_assignments(
     points: DataFrame, boundaries: DataFrame, res: int = 9, strategy: str = "broadcast"
 ) -> DataFrame:
@@ -174,9 +285,26 @@ def tile_assignments(
     boundary x tile cell + the boundary's wiki tags.
 
     Returns (image_id, cell_r{res}, boundary_id, qid, wikipedia).
+    strategy: 'broadcast' | 'shuffle' (points = geotagged rows), or
+    'fused' (points = the raw images DataFrame; one Python hop total).
     """
-    join_fn = broadcast_pip_join if strategy == "broadcast" else shuffle_pip_join
-    pairs = join_fn(points, boundaries)  # carries lat/lon: no re-join shuffle
+    if strategy == "fused":
+        pairs = geotag_pip_fused(points, boundaries)
+    elif strategy == "native":
+        # fully-JVM flagship: native binary header parse + native PIP;
+        # points = the raw images DataFrame
+        from wikibrain_spark import codecs
+        from wikibrain_spark.functions import binparse
+
+        pts = points.select(
+            "image_id",
+            binparse.le_double_col(F.col("bytes"), 11).alias("lat"),
+            binparse.le_double_col(F.col("bytes"), 19).alias("lon"),
+        )
+        pairs = broadcast_pip_join_native(pts, boundaries)
+    else:
+        join_fn = broadcast_pip_join if strategy == "broadcast" else shuffle_pip_join
+        pairs = join_fn(points, boundaries)  # carries lat/lon: no re-join shuffle
     dim = boundaries.select("boundary_id", "qid", "wikipedia")
     return (
         pairs.join(F.broadcast(dim), "boundary_id")
