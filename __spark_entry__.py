@@ -416,7 +416,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("query_id", "rank")
     q["q_ann_lsh"] = q_ann_lsh
 
+    # ---- embedding-cosine near-dup pairs (label-blocked)
+    def q_embedding_neardup(spark, sf):
+        return dedup.embedding_near_dup_pairs(
+            _t(spark, sf, "embeddings").where(F.col("vec_id") < 400), threshold=0.3
+        ).orderBy("id_a", "id_b")
+    q["q_embedding_neardup"] = q_embedding_neardup
+
+    # ---- the full link-resolution pipeline on the golden fixture corpus;
+    # the oracle enumerates the reference's own expected error_ids
+    def q_linkres_golden(spark, sf):
+        from wikibrain_spark.operators import linkres
+        from wikibrain_spark.sources import synthetic
+
+        d = synthetic.generate_wikidata_dim()
+        dims = linkres.WikiDims(
+            wikidata=spark.createDataFrame(
+                d["wikidata"],
+                "qid string, label_en string, sitelinks map<string,string>, lat double, lon double",
+            ),
+            claims=spark.createDataFrame(
+                d["wikidata_claims"],
+                "qid string, pid string, value_str string, value_qid string, "
+                "value_lat double, value_lon double, qualifier_pids array<string>",
+            ),
+            pages=spark.createDataFrame(d["wikipedia_pages"], "lang string, title string, qid string"),
+            page_redirects=spark.createDataFrame(
+                d["wikipedia_redirects"], "lang string, from_title string, to_title string"
+            ),
+            qid_redirects=spark.createDataFrame(d["wikidata_redirects"], "from_qid string, to_qid string"),
+            edges=spark.createDataFrame(
+                d["ontology_edges"], "child_qid string, parent_qid string, pid string"
+            ),
+        )
+        elements = spark.createDataFrame(
+            synthetic.generate_test_elements(),
+            "element_id long, object_type string, tags map<string,string>, "
+            "lat double, lon double, expected_error_id string",
+        )
+        return linkres.resolve(elements.drop("expected_error_id"), dims).select(
+            "element_id", "error_id"
+        ).orderBy("element_id")
+    q["q_linkres_golden"] = q_linkres_golden
+
     return q
+
+
+def _linkres_golden_oracle() -> str:
+    """The golden corpus's expected error_ids as a VALUES relation — the
+    ground truth is the reference's own test expectations (FIXTURES.md §5),
+    so the oracle IS the enumeration."""
+    from wikibrain_spark.sources import synthetic
+
+    rows = []
+    for _, r in synthetic.generate_test_elements().iterrows():
+        exp = r["expected_error_id"]
+        if exp not in (None, "FILTERED"):
+            escaped = exp.replace("'", "''")
+            rows.append(f"({int(r['element_id'])}, '{escaped}')")
+    return (
+        "SELECT * FROM (VALUES " + ", ".join(rows) + ") AS t(element_id, error_id) "
+        "ORDER BY element_id"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -694,6 +755,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_dedup_jaccard": jaccard_sql,
         "q_ann_topk": ann_sql,
+        "q_embedding_neardup": """
+            WITH d AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 400)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   CAST(floor(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) * 1000) AS BIGINT) AS sim_e3
+            FROM d a JOIN d b ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3
+            ORDER BY id_a, id_b
+        """,
+        "q_linkres_golden": _linkres_golden_oracle(),
         # q_dedup_minhash, q_dedup_simhash, q_ann_lsh: approximate operators
         # with no SQL equivalent -> rows-only driver check; their correctness
         # is pinned against exact kernels in tests/test_pipeline_ops.py

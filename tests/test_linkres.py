@@ -63,3 +63,25 @@ def test_report_count_matches(resolved):
     got, want = resolved
     n_expected = want["expected_error_id"].apply(lambda e: e not in (None, "FILTERED")).sum()
     assert len(got) == n_expected
+
+
+def test_expected_language_issues(spark, dims):
+    """get_wikipedia_language_issues with expected_language_code set
+    (wikimedia_link_issue_reporter.py:1211-1308, :2655-2701)."""
+    cases = [
+        # foreign link, object in an enforced-language country -> error
+        (0, {"wikipedia": "de:Polnisches Ding", "wikidata": "Q555001"},
+         "wikipedia tag unexpected language"),
+        # foreign link, object partially in a foreign country -> allowed
+        (1, {"wikipedia": "de:Grenzstadt", "wikidata": "Q555002"}, None),
+        # matching language -> clean
+        (2, {"wikipedia": "pl:Polska Rzecz", "wikidata": "Q555001"}, None),
+    ]
+    elements = spark.createDataFrame(
+        [(i, "node", tags, 52.0, 20.0) for i, tags, _ in cases],
+        "element_id long, object_type string, tags map<string,string>, lat double, lon double",
+    )
+    cfg = linkres.ResolveConfig(expected_language_code="pl")
+    got = {r["element_id"]: r["error_id"] for r in linkres.resolve(elements, dims, cfg).collect()}
+    for i, tags, expected in cases:
+        assert got.get(i) == expected, f"case {i} {tags}: got {got.get(i)!r} want {expected!r}"

@@ -49,6 +49,14 @@ def invalid_types_df(spark: SparkSession) -> DataFrame:
     )
 
 
+def official_language_countries(lang: str | None) -> list[str]:
+    """Country QIDs where `lang` is official (public Wikidata CSV-derived,
+    same facts as wikimedia_link_issue_reporter.py:1978-2653)."""
+    if lang is None:
+        return []
+    return list(_tables().get("official_language_countries", {}).get(lang, []))
+
+
 def blacklist_df(spark: SparkSession) -> DataFrame:
     rows = [
         (qid, v.get("prefix"))

@@ -194,6 +194,33 @@ def minhash_lsh_pairs(
     )
 
 
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within blocks:
+    (id_a, id_b, sim_e3). The block column bounds the quadratic term (at
+    scale: LSH buckets from simsearch.hyperplane_signatures instead)."""
+    norm = F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")))
+    d = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                          norm.alias("nrm"), F.col(block_col).alias("blk"))
+    a = d.alias("a")
+    b = d.alias("b")
+    pairs = a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")))
+    dot = F.aggregate(
+        F.zip_with("a.v", "b.v", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    sim = dot / (F.col("a.nrm") * F.col("b.nrm"))
+    return pairs.where(sim >= threshold).select(
+        F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+        F.floor(sim * 1000).cast("long").alias("sim_e3"),
+    )
+
+
 # ---------------------------------------------------------------- simhash
 
 def simhash64(documents: DataFrame, text_col: str = "text") -> DataFrame:

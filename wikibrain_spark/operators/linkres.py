@@ -125,7 +125,31 @@ def build_qid_facts(dims: WikiDims, cfg: ResolveConfig) -> DataFrame:
         .select("qid", F.col("u.what").alias("unlink_what"), F.col("u.replacement").alias("unlink_replacement"))
     )
 
+    # taxonomy + country facts
+    is_taxon = (
+        classifying.where(F.col("ancestor") == "Q16521").select("qid").distinct()
+        .withColumn("is_taxon", F.lit(True))  # :1776, :1822-1824
+    )
+
     c = dims.claims
+    p105 = (
+        c.where((F.col("pid") == "P105") & F.col("value_qid").isNotNull())
+        .groupBy("qid").agg(F.collect_set("value_qid").alias("p105_qids"))  # :1795
+    )
+    # P17 countries, excluding statements qualified by P582 (:2684-2701)
+    p17 = (
+        c.where((F.col("pid") == "P17") & F.col("value_qid").isNotNull()
+                & ~F.array_contains(F.coalesce("qualifier_pids", F.array()), "P582"))
+        .groupBy("qid").agg(F.collect_set("value_qid").alias("countries"))
+    )
+    has_p17 = c.where(F.col("pid") == "P17").select("qid").distinct().withColumn("has_p17", F.lit(True))
+
+    sitelink_expected = dims.wikidata.select(
+        "qid",
+        (F.element_at("sitelinks", cfg.expected_language_code)
+         if cfg.expected_language_code else F.lit(None).cast("string")).alias("sitelink_expected"),
+    )
+
     p247 = c.where(F.col("pid") == "P247").select("qid").distinct().withColumn("has_p247", F.lit(True))
     p279c = c.where(F.col("pid") == "P279").select("qid").distinct().withColumn("has_p279_claim", F.lit(True))
     # P576 dissolved unless qualified by P1011 (:736-750)
@@ -149,6 +173,11 @@ def build_qid_facts(dims: WikiDims, cfg: ResolveConfig) -> DataFrame:
         .join(type_flags, "qid", "left")
         .join(ambiguous, "qid", "left")
         .join(unlink, "qid", "left")
+        .join(is_taxon, "qid", "left")
+        .join(p105, "qid", "left")
+        .join(p17, "qid", "left")
+        .join(has_p17, "qid", "left")
+        .join(sitelink_expected, "qid", "left")
         .join(p247, "qid", "left")
         .join(p279c, "qid", "left")
         .join(dissolved, "qid", "left")
@@ -157,6 +186,7 @@ def build_qid_facts(dims: WikiDims, cfg: ResolveConfig) -> DataFrame:
         .join(teryt, "qid", "left")
         .fillna(
             {"is_disambig": False, "is_list": False, "is_ambiguous_item": False,
+             "is_taxon": False, "has_p17": False,
              "has_p247": False, "has_p279_claim": False, "dissolved": False, "has_area": False}
         )
     )
@@ -166,7 +196,8 @@ def build_qid_facts(dims: WikiDims, cfg: ResolveConfig) -> DataFrame:
 def _facts_cols(prefix: str) -> list[str]:
     return ["best_link", "is_disambig", "is_list", "is_ambiguous_item", "unlink_what",
             "unlink_replacement", "has_p247", "has_p279_claim", "dissolved",
-            "hq_lats", "hq_lons", "has_area", "teryt_simc"]
+            "hq_lats", "hq_lons", "has_area", "teryt_simc",
+            "is_taxon", "p105_qids", "countries", "has_p17", "sitelink_expected"]
 
 
 def _join_facts(df: DataFrame, facts: DataFrame, qid_col: str, prefix: str) -> DataFrame:
@@ -613,6 +644,31 @@ def resolve(elements: DataFrame, dims: WikiDims, cfg: ResolveConfig | None = Non
     base = _join_facts(base, facts, "wikidata", "wd")
     base = _join_facts(base, facts, "effective_wd", "eff")
 
+    # taxon-prefix qid resolution (:1785-1789) + slim taxonomy facts
+    for pfx in ("species:", "taxon:", "genus:"):
+        name = pfx.rstrip(":")
+        wp = _tag(pfx + "wikipedia")
+        lang_c = wikitext.lang_code_of(wp)
+        art_c = wikitext.article_name_of(wp)
+        base = base.withColumn(f"__{name}_lang", lang_c).withColumn(f"__{name}_art", art_c)
+        pg = dims.pages.select(
+            F.col("lang").alias(f"__{name}_lang"), F.col("title").alias(f"__{name}_art"),
+            F.col("qid").alias(f"{name}_wp_qid"),
+        )
+        base = base.join(F.broadcast(pg), [f"__{name}_lang", f"__{name}_art"], "left")
+        base = base.withColumn(
+            f"__tx_{name}_qid", F.coalesce(_tag(pfx + "wikidata"), F.col(f"{name}_wp_qid"))
+        )
+        slim = facts.select(
+            F.col("qid").alias(f"__tx_{name}_qid"),
+            F.col("p105_qids").alias(f"tx_{name}_p105_qids"),
+            F.col("is_taxon").alias(f"tx_{name}_is_taxon"),
+        )
+        base = base.join(F.broadcast(slim), f"__tx_{name}_qid", "left")
+        base = base.withColumn(
+            f"tx_{name}_is_taxon", F.coalesce(f"tx_{name}_is_taxon", F.lit(False))
+        )
+
     # ---- stage 1: teryt override (:279-281)
     err1 = _teryt_err()
 
@@ -735,7 +791,71 @@ def resolve(elements: DataFrame, dims: WikiDims, cfg: ResolveConfig | None = Non
              F.lit("linked wikidata entry is about a company that has multiple locations")),
     )
 
-    semantics_err = F.coalesce(disambig_err, unlink_err, prop_err, hq_err)
+    # taxon checks (:1772-1830): species:/genus: via P105, taxon: via ontology
+    taxon_errs = []
+    for pfx, expected, via in (("species:", "Q7432", "p105"), ("taxon:", "Q16521", "ont"), ("genus:", "Q34740", "p105")):
+        name = pfx.rstrip(":")
+        qid_col = F.col(f"__tx_{name}_qid")
+        applicable = qid_col.isNotNull() & ~qid_col.contains(";")  # :1792-1794
+        if via == "p105":
+            eid = f"{name} secondary tag links something that is not {name} according to wikidata (checking P105)"
+            err = F.when(
+                applicable & F.col(f"tx_{name}_p105_qids").isNull(),
+                _err(eid, "no P105"),  # :1796-1801
+            ).when(
+                applicable & ~F.array_contains(F.coalesce(f"tx_{name}_p105_qids", F.array()), expected),
+                _err(eid, "no matching P105"),  # :1802-1809
+            )
+        else:
+            eid = f"{name} secondary tag links something that is not {name} according to wikidata (checking regular ontology)"
+            err = F.when(applicable & ~F.col(f"tx_{name}_is_taxon"), _err(eid, eid))  # :1822-1830
+        taxon_errs.append(err)
+
+    semantics_err = F.coalesce(disambig_err, unlink_err, prop_err, hq_err, *taxon_errs)
+
+    # language issues (:1211-1308). expected_language_code None -> only the
+    # bot-wikipedia (ceb) check applies (:1224-1232).
+    cur_lang = F.col("wp_lang")
+    bot = cur_lang == "ceb"
+    bot_err = _err("wikipedia tag links bot wikipedia",  # :1227
+                   F.concat(F.lit("wikipedia page in unexpected language - "), cur_lang,
+                            F.lit(" is a low quality, bot generated wikipedia - it should not be linked")))
+    if cfg.expected_language_code is None:
+        lang_err = F.when(F.col("wikipedia").isNotNull() & bot, bot_err)
+    else:
+        enforced = knowledge.official_language_countries(cfg.expected_language_code)
+        recommended = F.col("eff_sitelink_expected")
+        # why_object_is_allowed_to_have_foreign_language_label (:2657-2682):
+        # non-null reason iff no wikidata entry, no P17 data, or any current
+        # (non-P582) country outside the enforced set
+        any_foreign_country = F.exists(
+            F.coalesce("eff_countries", F.array()), lambda cq: ~cq.isin(enforced or ["__none__"])
+        )
+        allowed_foreign = (
+            F.col("effective_wd").isNull()
+            | ~F.col("eff_has_p17")
+            | (F.size(F.coalesce("eff_countries", F.array())) == 0)
+            | any_foreign_country
+        )
+        lang_err = F.when(
+            F.col("wikipedia").isNull(), F.lit(None).cast(ERR_SCHEMA)
+        ).when(
+            recommended.isNull(), F.when(bot, bot_err)  # :1235-1242
+        ).when(
+            cur_lang == cfg.expected_language_code, F.lit(None).cast(ERR_SCHEMA)  # :1245-1247
+        ).when(
+            allowed_foreign,
+            F.when(bot, _err("wikipedia tag links bot wikipedia in border region, can be changed to alternative",  # :1263
+                             F.lit("bot wikipedia linked in border region"))),  # cur != recommended lang here
+        ).when(
+            bot,
+            _err("wikipedia tag links bot wikipedia",  # :1280
+                 F.lit("bot generated wikipedia linked; a potential replacement exists")),
+        ).otherwise(
+            _err("wikipedia tag unexpected language",  # :1286
+                 F.concat(F.lit("wikipedia page in unexpected language - "),
+                          F.lit(cfg.expected_language_code), F.lit(" was expected:"))),
+        )
     # whole semantics block suppressed for special-skip qids (:1486-1498 via unlink only;
     # disambig/list/property checks are not — but ambiguous-item & ignore apply to unlink only)
 
@@ -767,7 +887,8 @@ def resolve(elements: DataFrame, dims: WikiDims, cfg: ResolveConfig | None = Non
     err3 = F.coalesce(
         fixme,
         F.when(whitelisted, F.lit(None).cast(ERR_SCHEMA)).otherwise(
-            F.coalesce(blacklist_err, board, not_err, semantics_err, exist_err, F.col("brand_err"), bridge_err)
+            F.coalesce(blacklist_err, board, not_err, semantics_err, lang_err,
+                       exist_err, F.col("brand_err"), bridge_err)
         ),
     )
     # NOTE: fixme precedes the whitelist (reference order :446-461); the

@@ -185,6 +185,15 @@ def generate_wikidata_dim() -> dict[str, pd.DataFrame]:
         ("Q888002", "Boundary With HQ", {}, None),           # P159 + P2046
         ("Q889001", "Sputnik-like", {}, None),               # P247 spacecraft
         ("Q889002", "generic class", {}, None),              # has P279 claim
+        ("Q7432", "species (taxon rank)", {}, None),
+        ("Q34740", "genus (taxon rank)", {}, None),
+        ("Q16521", "taxon", {}, None),
+        ("Q156895", "Some species", {}, None),               # P105 = Q7432
+        ("Q42292", "Some genus", {}, None),                  # P105 = Q34740
+        ("Q777100", "Some taxon entry", {}, None),           # P31 -> Q16521
+        ("Q555001", "Polska Rzecz", {"pl": "Polska Rzecz", "de": "Polnisches Ding"}, (52.0, 20.0)),
+        ("Q555002", "Grenzstadt", {"pl": "Grenzstadt PL", "de": "Grenzstadt"}, (51.0, 15.0)),
+        ("Q555003", "Cebuano Place", {"ceb": "Cebuano Place"}, (10.0, 123.0)),
     ]
     wikidata = pd.DataFrame(
         [
@@ -218,6 +227,10 @@ def generate_wikidata_dim() -> dict[str, pd.DataFrame]:
             ("Q999003", "Q5", "P31"),          # would be 'a human' if not skipped
             ("Q777001", "Q515", "P31"),
             ("Q777002", "Q515", "P31"),
+            ("Q777100", "Q16521", "P31"),      # a taxon entry
+            ("Q555001", "Q515", "P31"),
+            ("Q555002", "Q515", "P31"),
+            ("Q555003", "Q515", "P31"),
         ],
         columns=["child_qid", "parent_qid", "pid"],
     )
@@ -237,6 +250,12 @@ def generate_wikidata_dim() -> dict[str, pd.DataFrame]:
             _c("Q888002", "P2046", vs="120.5"),                       # has area -> skip
             _c("Q889001", "P247", vs="1957-001B"),
             _c("Q889002", "P279", vq="Q2221906"),
+            _c("Q156895", "P105", vq="Q7432"),
+            _c("Q42292", "P105", vq="Q34740"),
+            _c("Q555001", "P17", vq="Q36"),                           # Poland
+            _c("Q555002", "P17", vq="Q183"),                          # Germany
+            _c("Q555002", "P17", vq="Q7318", quals=["P582"]),         # past country
+            _c("Q555003", "P17", vq="Q928"),                          # Philippines
         ]
     )
     redirects = pd.DataFrame([("Q99100", "Q100")], columns=["from_qid", "to_qid"])
@@ -256,6 +275,11 @@ def generate_wikidata_dim() -> dict[str, pd.DataFrame]:
             ("en", "Megapolis (disambiguation)", "Q999001"),
             ("en", "Brand Thing", "Q177054"),
             ("pl", "Township", "Q777001"),
+            ("pl", "Polska Rzecz", "Q555001"),
+            ("de", "Polnisches Ding", "Q555001"),
+            ("pl", "Grenzstadt PL", "Q555002"),
+            ("de", "Grenzstadt", "Q555002"),
+            ("ceb", "Cebuano Place", "Q555003"),
             ("en", "Megapolis City", None),  # redirect page exists, no own item
         ],
         columns=["lang", "title", "qid"],
@@ -353,6 +377,21 @@ def generate_test_elements() -> pd.DataFrame:
         ("node", {"wikipedia": "dk:Something"}, 40.0, -74.0, "wikipedia tag using redirecting language code"),
         ("node", {"wikipedia": "xx:Something"}, 40.0, -74.0, "malformed wikipedia tag - nonexisting language code"),
         ("node", {"wikidata": "Q999003"}, 40.0, -74.0, None),  # ambiguous item -> skipped
+        # taxon family (test_wikimedia_link_issue_reporter.py:568-582)
+        ("node", {"species:wikidata": "Q156895"}, 40.0, -74.0, None),
+        ("node", {"species:wikidata": "Q42292"}, 40.0, -74.0,
+         "species secondary tag links something that is not species according to wikidata (checking P105)"),
+        ("node", {"species:wikidata": "Q100"}, 40.0, -74.0,
+         "species secondary tag links something that is not species according to wikidata (checking P105)"),
+        ("node", {"genus:wikidata": "Q42292"}, 40.0, -74.0, None),
+        ("node", {"genus:wikidata": "Q156895"}, 40.0, -74.0,
+         "genus secondary tag links something that is not genus according to wikidata (checking P105)"),
+        ("node", {"taxon:wikidata": "Q777100"}, 40.0, -74.0, None),
+        ("node", {"taxon:wikidata": "Q100"}, 40.0, -74.0,
+         "taxon secondary tag links something that is not taxon according to wikidata (checking regular ontology)"),
+        # bot-wikipedia check with no expected language (:1224-1232)
+        ("node", {"wikipedia": "ceb:Cebuano Place", "wikidata": "Q555003"}, 10.0, 123.0,
+         "wikipedia tag links bot wikipedia"),
     ]
     return pd.DataFrame(
         [
