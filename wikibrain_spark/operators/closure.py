@@ -69,6 +69,49 @@ def p279_closure(
     return closure
 
 
+def p279_closure_with_depth(
+    edges: DataFrame,
+    ignored: list[str] | None = None,
+    max_iterations: int = 25,
+    broadcast_edges: bool = True,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """(qid, ancestor, depth) with MIN depth per ancestor — the reference's
+    depth-tracking closure variant (wikimedia_link_issue_reporter.py:
+    1455-1478, SURVEY.md J8/A8). BFS order guarantees the first time an
+    ancestor is reached is at its minimum depth, so the anti-join both
+    terminates cycles and fixes depth = min."""
+    spark = edges.sparkSession
+    e = edges.select(F.col("child_qid").alias("child"), F.col("parent_qid").alias("parent"))
+    if ignored:
+        ign = spark.createDataFrame([(q,) for q in ignored], "qid string")
+        e = (
+            e.join(F.broadcast(ign), e["parent"] == ign["qid"], "left_anti")
+            .join(F.broadcast(ign), e["child"] == ign["qid"], "left_anti")
+        )
+    if broadcast_edges:
+        e = F.broadcast(e)
+
+    nodes = e.select(F.col("child").alias("qid")).union(e.select("parent")).distinct()
+    closure = nodes.select("qid", F.col("qid").alias("ancestor"), F.lit(0).alias("depth")).localCheckpoint()
+    frontier = closure
+
+    for i in range(max_iterations):
+        step = (
+            frontier.join(e, frontier["ancestor"] == e["child"])
+            .select("qid", F.col("parent").alias("ancestor"), (F.col("depth") + 1).alias("depth"))
+            .groupBy("qid", "ancestor").agg(F.min("depth").alias("depth"))
+        )
+        new = step.join(closure, ["qid", "ancestor"], "left_anti").localCheckpoint()
+        if new.isEmpty():
+            break
+        closure = closure.union(new)
+        if i % checkpoint_every == checkpoint_every - 1:
+            closure = closure.localCheckpoint()
+        frontier = new
+    return closure
+
+
 def classifying_ancestors(
     edges: DataFrame, ignored: list[str] | None = None, **kw
 ) -> DataFrame:

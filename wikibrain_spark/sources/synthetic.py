@@ -194,6 +194,7 @@ def generate_wikidata_dim() -> dict[str, pd.DataFrame]:
         ("Q555001", "Polska Rzecz", {"pl": "Polska Rzecz", "de": "Polnisches Ding"}, (52.0, 20.0)),
         ("Q555002", "Grenzstadt", {"pl": "Grenzstadt PL", "de": "Grenzstadt"}, (51.0, 15.0)),
         ("Q555003", "Cebuano Place", {"ceb": "Cebuano Place"}, (10.0, 123.0)),
+        ("Q555010", "Savazza-like redirect item", {"it": "Savazza2"}, None),
     ]
     wikidata = pd.DataFrame(
         [
@@ -280,12 +281,27 @@ def generate_wikidata_dim() -> dict[str, pd.DataFrame]:
             ("pl", "Grenzstadt PL", "Q555002"),
             ("de", "Grenzstadt", "Q555002"),
             ("ceb", "Cebuano Place", "Q555003"),
+            ("it", "Savazza2", "Q555010"),  # redirect page WITH its own item
             ("en", "Megapolis City", None),  # redirect page exists, no own item
         ],
         columns=["lang", "title", "qid"],
     )
     wp_redirects = pd.DataFrame(
-        [("en", "Megapolis City", "Megapolis")], columns=["lang", "from_title", "to_title"]
+        [
+            ("en", "Megapolis City", "Megapolis"),
+            ("it", "Savazza2", "Lakeview"),  # redirect page that has its own QID
+        ],
+        columns=["lang", "from_title", "to_title"],
+    )
+    disambig_links = pd.DataFrame(
+        [
+            # outlinks of the Megapolis disambiguation page (ns=0 kept)
+            ("en", "Megapolis (disambiguation)", "Megapolis", 0),
+            ("en", "Megapolis (disambiguation)", "Hilltop", 0),
+            ("en", "Megapolis (disambiguation)", "Brand Thing", 0),
+            ("en", "Megapolis (disambiguation)", "Talk:Megapolis", 1),  # non-article
+        ],
+        columns=["lang", "title", "out_title", "ns"],
     )
     return {
         "wikidata": wikidata,
@@ -294,6 +310,7 @@ def generate_wikidata_dim() -> dict[str, pd.DataFrame]:
         "wikidata_redirects": redirects,
         "wikipedia_pages": pages,
         "wikipedia_redirects": wp_redirects,
+        "disambig_links": disambig_links,
     }
 
 
@@ -392,6 +409,14 @@ def generate_test_elements() -> pd.DataFrame:
         # bot-wikipedia check with no expected language (:1224-1232)
         ("node", {"wikipedia": "ceb:Cebuano Place", "wikidata": "Q555003"}, 10.0, 123.0,
          "wikipedia tag links bot wikipedia"),
+        # prefixed collision (test_wikimedia_link_issue_reporter.py:451-461)
+        ("node", {"brand:wikidata": "Q177054", "brand:wikipedia": "en:Megapolis"}, 40.0, -74.0,
+         "wikipedia wikidata mismatch - for brand prefixed tags"),
+        # malformed secondary variant for a non-':wikipedia'-suffixed key (:634-639)
+        ("node", {"mywikipedia": "garbage?"}, 40.0, -74.0,
+         "malformed secondary wikipedia tag for mywikipedia tag"),
+        # redirect page with its own wikidata item -> clean (:403-412 analogue)
+        ("node", {"wikipedia": "it:Savazza2", "wikidata": "Q555010"}, 41.9, 12.5, None),
     ]
     return pd.DataFrame(
         [
@@ -415,7 +440,7 @@ def materialize(out_dir: str, n_images: int = 2000) -> dict[str, str]:
     paths = {}
     names = ["images", "expected_geotags", "boundaries", "expected_tiles",
              "wikidata", "wikidata_claims", "ontology_edges", "wikidata_redirects",
-             "wikipedia_pages", "wikipedia_redirects", "test_elements"]
+             "wikipedia_pages", "wikipedia_redirects", "disambig_links", "test_elements"]
     for nm in names:
         paths[nm] = os.path.join(out_dir, f"{nm}.parquet")
     if os.path.exists(marker):
