@@ -425,6 +425,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- the full link-resolution pipeline on the golden fixture corpus;
     # the oracle enumerates the reference's own expected error_ids
+    def _resolve_golden(spark):
+        from wikibrain_spark.operators import linkres
+        from wikibrain_spark.sources import synthetic
+
+        d = synthetic.generate_wikidata_dim()
+        dims = linkres.WikiDims(
+            wikidata=spark.createDataFrame(
+                d["wikidata"],
+                "qid string, label_en string, sitelinks map<string,string>, lat double, lon double",
+            ),
+            claims=spark.createDataFrame(
+                d["wikidata_claims"],
+                "qid string, pid string, value_str string, value_qid string, "
+                "value_lat double, value_lon double, qualifier_pids array<string>",
+            ),
+            pages=spark.createDataFrame(d["wikipedia_pages"], "lang string, title string, qid string"),
+            page_redirects=spark.createDataFrame(
+                d["wikipedia_redirects"], "lang string, from_title string, to_title string"
+            ),
+            qid_redirects=spark.createDataFrame(d["wikidata_redirects"], "from_qid string, to_qid string"),
+            edges=spark.createDataFrame(
+                d["ontology_edges"], "child_qid string, parent_qid string, pid string"
+            ),
+        )
+        elements = spark.createDataFrame(
+            synthetic.generate_test_elements(),
+            "element_id long, object_type string, tags map<string,string>, "
+            "lat double, lon double, expected_error_id string",
+        )
+        return linkres.resolve(elements.drop("expected_error_id"), dims)
+
+    # ---- full ErrorReport payload: prerequisite + proposed_tagging_changes
+    # serialized canonically; the oracle enumerates the reference's payloads
+    def q_report_payload(spark, sf):
+        from wikibrain_spark.operators import linkres
+
+        out = _resolve_golden(spark)
+        return out.select(
+            "element_id", "error_id",
+            linkres.ser_map_col(F.col("prerequisite")).alias("pre_ser"),
+            linkres.ser_changes_col(F.col("proposed_tagging_changes")).alias("prop_ser"),
+        ).orderBy("element_id")
+    q["q_report_payload"] = q_report_payload
+
+    # ---- resolve -> proposed changes -> CAS apply round-trip (P19/U1 e2e)
+    def q_report_roundtrip(spark, sf):
+        from wikibrain_spark.operators import linkres
+
+        out = _resolve_golden(spark)
+        proposing = out.where(F.col("proposed_tagging_changes").isNotNull()).select(
+            "element_id", "tags", F.col("proposed_tagging_changes").alias("changes")
+        )
+        applied = apply_tag_changes(proposing)
+        return applied.select(
+            "element_id", "prereq_ok",
+            linkres.ser_map_col(F.col("new_tags")).alias("new_tags_ser"),
+        ).orderBy("element_id")
+    q["q_report_roundtrip"] = q_report_roundtrip
+
     def q_linkres_golden(spark, sf):
         from wikibrain_spark.operators import linkres
         from wikibrain_spark.sources import synthetic
@@ -460,6 +519,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_linkres_golden"] = q_linkres_golden
 
     return q
+
+
+def _sql_str(v) -> str:
+    if v is None:
+        return "NULL"
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def _report_payload_oracle() -> str:
+    """Expected (element_id, error_id, prerequisite, proposed) straight from
+    the reference's pinned payloads (synthetic.golden_payload_expectations)."""
+    from wikibrain_spark.sources import synthetic
+
+    rows = []
+    for _, r in synthetic.golden_payload_expectations().iterrows():
+        rows.append(
+            f"({int(r['element_id'])}, {_sql_str(r['expected_error_id'])}, "
+            f"{_sql_str(r['expected_prerequisite'])}, {_sql_str(r['expected_proposed'])})"
+        )
+    return (
+        "SELECT * FROM (VALUES " + ", ".join(rows)
+        + ") AS t(element_id, error_id, pre_ser, prop_ser) ORDER BY element_id"
+    )
+
+
+def _report_roundtrip_oracle() -> str:
+    """Independent plain-Python application of each pinned proposed change to
+    the element's own tags -> expected post-CAS tag state."""
+    from wikibrain_spark.sources import synthetic
+
+    rows = []
+    for _, r in synthetic.golden_payload_expectations().iterrows():
+        chs = r["expected_proposed_raw"]
+        if chs is None:
+            continue
+        tags = dict(r["tags"])
+        ok = True
+        for ch in chs:
+            for k, v in ch["from"].items():
+                if v is None:
+                    ok = ok and k not in tags
+                else:
+                    ok = ok and tags.get(k) == v
+                    tags.pop(k, None)
+            for k, v in ch["to"].items():
+                if v is not None:
+                    tags[k] = v
+        rows.append(
+            f"({int(r['element_id'])}, {'true' if ok else 'false'}, "
+            f"{_sql_str(synthetic.ser_map(tags))})"
+        )
+    return (
+        "SELECT * FROM (VALUES " + ", ".join(rows)
+        + ") AS t(element_id, prereq_ok, new_tags_ser) ORDER BY element_id"
+    )
 
 
 def _linkres_golden_oracle() -> str:
@@ -764,6 +878,8 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY id_a, id_b
         """,
         "q_linkres_golden": _linkres_golden_oracle(),
+        "q_report_payload": _report_payload_oracle(),
+        "q_report_roundtrip": _report_roundtrip_oracle(),
         # q_dedup_minhash, q_dedup_simhash, q_ann_lsh: approximate operators
         # with no SQL equivalent -> rows-only driver check; their correctness
         # is pinned against exact kernels in tests/test_pipeline_ops.py

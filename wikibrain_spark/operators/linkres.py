@@ -36,13 +36,91 @@ from wikibrain_spark.functions.languages import LANGUAGE_CODES_BY_IMPORTANCE
 from wikibrain_spark.geo.geodesic import haversine_km_col
 from wikibrain_spark.operators import closure as closure_ops
 
-ERR_SCHEMA = "struct<error_id:string,error_message:string>"
+MAP_TYPE = "map<string,string>"
+CHANGES_TYPE = "array<struct<from:map<string,string>,to:map<string,string>>>"
+ERR_SCHEMA = (
+    "struct<error_id:string,error_message:string,"
+    "error_general_intructions:string,"  # [sic] reference spelling, :12
+    f"prerequisite:{MAP_TYPE},"
+    f"proposed_tagging_changes:{CHANGES_TYPE}>"
+)
+
+# reference: wikidata_data_quality_warning (:720-721)
+DATA_QUALITY_WARNING = (
+    "REMEMBER TO VERIFY! WIKIDATA QUALITY MAY BE POOR! "
+    "WIKIDATA MUST NOT BE USED AS SOURCE! ALWAYS VERIFY!"
+)
 
 
-def _err(error_id: Column | str, message: Column | str) -> Column:
-    eid = error_id if isinstance(error_id, Column) else F.lit(error_id)
-    msg = message if isinstance(message, Column) else F.lit(message)
-    return F.struct(eid.alias("error_id"), msg.alias("error_message"))
+def _lit(x: Column | str | None) -> Column:
+    if x is None:
+        return F.lit(None).cast("string")
+    return x if isinstance(x, Column) else F.lit(x)
+
+
+def _err(
+    error_id: Column | str,
+    message: Column | str,
+    prerequisite: Column | None = None,
+    proposed: Column | None = None,
+    instructions: Column | str | None = None,
+) -> Column:
+    """Full ErrorReport payload struct (wikimedia_link_issue_reporter.py:11-45):
+    error_id + error_message + error_general_intructions + prerequisite (the
+    compare-and-swap guard consumed by apply_changes) + proposed_tagging_changes."""
+    pre = prerequisite if prerequisite is not None else F.lit(None)
+    prop = proposed if proposed is not None else F.lit(None)
+    return F.struct(
+        _lit(error_id).alias("error_id"),
+        _lit(message).alias("error_message"),
+        _lit(instructions).alias("error_general_intructions"),
+        pre.cast(MAP_TYPE).alias("prerequisite"),
+        prop.cast(CHANGES_TYPE).alias("proposed_tagging_changes"),
+    )
+
+
+def _m(*pairs) -> Column:
+    """Prerequisite map literal from (key, value) pairs; values may be null
+    Columns (the reference stores e.g. {'wikidata': None})."""
+    args: list[Column] = []
+    for k, v in pairs:
+        args.append(_lit(k))
+        args.append(_lit(v))
+    return F.create_map(*args).cast(MAP_TYPE)
+
+
+def _chg(frm: Column, to: Column) -> Column:
+    """Single-entry proposed_tagging_changes array [{'from': .., 'to': ..}]."""
+    return F.array(
+        F.struct(frm.cast(MAP_TYPE).alias("from"), to.cast(MAP_TYPE).alias("to"))
+    ).cast(CHANGES_TYPE)
+
+
+def _empty_map() -> Column:
+    return F.create_map().cast(MAP_TYPE)
+
+
+def _subject_message(topic: Column, special_prefix: Column, wikidata_id: Column, best_link: Column) -> Column:
+    """should_use_subject_message (:1311-1327), byte-for-byte including the
+    reference's line-continuation whitespace."""
+    about_article = F.when(
+        best_link.isNotNull(),
+        F.concat(F.lit("("), wikitext.article_name_of(best_link), F.lit(" article)")),
+    ).otherwise(F.lit(""))
+    special_text = F.when(
+        special_prefix.isNotNull(), F.concat(F.lit("or "), special_prefix, F.lit("wikipedia"))
+    ).otherwise(F.lit(""))
+    return F.concat(
+        F.lit("linked wikidata entry ("), wikidata_id, F.lit(")"), about_article,
+        F.lit(" is about "), topic,
+        F.lit(", so it is very unlikely to be correct \n        subject:wikipedia=* "),
+        special_text,
+        F.lit(" tag would be probably better "
+              "        (see https://wiki.openstreetmap.org/wiki/Key:wikipedia#Secondary_Wikipedia_links"
+              " for full list of what else may be applicable) \n"
+              "        in case of change remember to add such prefix (or remove) wikidata tag if it is present \n"
+              "        object categorised by Wikidata - wrong classification may be caused by wrong data on Wikidata"),
+    )
 
 
 @dataclass
@@ -244,13 +322,24 @@ def _teryt_err() -> Column:
     simc_tag = _tag("teryt:simc")
     simc_wd = F.col("wd_teryt_simc")
     applicable = _tag("wikidata").isNotNull() & simc_tag.isNotNull() & simc_wd.isNotNull()
+    pre_basic = _m(("wikidata", _tag("wikidata")), ("teryt:simc", simc_tag))
+    pre_full = _m(
+        ("wikidata", _tag("wikidata")), ("teryt:simc", simc_tag), ("wikipedia", F.col("wikipedia"))
+    )
     return F.when(
         applicable & (simc_wd != simc_tag),
         _err(
             "mismatching teryt:simc codes in wikidata and in osm element",  # :313
-            F.concat(F.lit("mismatching teryt:simc codes in wikidata ("), _tag("wikidata"),
-                     F.lit(") where "), simc_wd, F.lit(" is declared and in osm element, where teryt:simc="),
-                     simc_tag, F.lit(" is declared.")),
+            F.concat(
+                F.lit("mismatching teryt:simc codes in wikidata ("), _tag("wikidata"),
+                F.lit(") where "), simc_wd,
+                F.lit(" is declared and in osm element, where teryt:simc="), simc_tag,
+                F.lit(" is declared. TERYT database may be searched at "
+                      "http://eteryt.stat.gov.pl/eTeryt/rejestr_teryt/udostepnianie_danych/baza_teryt/"
+                      "uzytkownicy_indywidualni/wyszukiwanie/wyszukiwanie.aspx?contrast=default"
+                      " (switch to SIMC tab) "),
+            ),
+            prerequisite=pre_basic,
         ),
     ).when(
         applicable & (simc_wd == simc_tag)
@@ -260,12 +349,19 @@ def _teryt_err() -> Column:
             _err(
                 "wikipedia needs to be updated based on wikidata code and teryt:simc identifier",  # :323
                 F.concat(F.lit("new wikipedia tag "), F.col("wd_best_link"),
-                         F.lit(" proposed based on matching teryt:simc codes")),
+                         F.lit(" proposed based on matching teryt:simc codes in wikidata ("),
+                         _tag("wikidata"), F.lit(") and in osm element, where teryt:simc="),
+                         simc_tag, F.lit(" is declared")),
+                prerequisite=pre_full,
             ),
         ).otherwise(
             _err(
                 "wikipedia tag needs to be removed based on wikidata code and teryt:simc identifier",  # :330
-                F.lit("it seems that wikipedia tag should be removed given matching teryt:simc codes"),
+                F.concat(F.lit(" it seems that wikipedia tag should be removed given matching "
+                               "teryt:simc codes in wikidata ("), _tag("wikidata"),
+                         F.lit(") and in osm element, where teryt:simc="), simc_tag,
+                         F.lit(" is declared")),
+                prerequisite=pre_full,
             )
         ),
     )
@@ -283,13 +379,19 @@ def _old_style_errors(elements: DataFrame, dims: WikiDims, bi: DataFrame) -> Dat
     invalid = (
         keys.where(~wikitext.is_valid_old_style_key(F.col("key")))
         .groupBy("element_id")
-        .agg(F.min("key").alias("bad_key"))
+        .agg(
+            F.min_by(
+                F.struct(F.col("key").alias("k"), F.element_at("tags", F.col("key")).alias("v")),
+                F.col("key"),
+            ).alias("bad")
+        )
         .select(
             "element_id",
             _err(
                 "invalid old-style wikipedia tag",  # :845
-                F.concat(F.lit("wikipedia tag in outdated form ("), F.col("bad_key"),
+                F.concat(F.lit("wikipedia tag in outdated form ("), F.col("bad.k"),
                          F.lit("), is not using any known language code")),
+                prerequisite=_m((F.col("bad.k"), F.col("bad.v"))),  # :847
             ).alias("err"),
         )
     )
@@ -350,26 +452,57 @@ def _old_style_errors(elements: DataFrame, dims: WikiDims, bi: DataFrame) -> Dat
         "all_ids", F.array_distinct(F.filter(F.concat(F.array("wd"), "qids"), lambda x: x.isNotNull()))
     )
     agg = agg.withColumn("has_conflict", F.col("any_unresolved") | (F.size("all_ids") > 1))
+    # prerequisite (:908-912) = {'wikidata', 'wikipedia'} + every old-style key;
+    # proposed changes (:927, :937) need the old-style key map + the normalized
+    # id's best interwiki link
+    info = elements.select(
+        "element_id",
+        F.map_filter("tags", lambda k, v: k.contains("wikipedia:")).alias("old_map"),
+    )
+    agg = agg.join(info, "element_id", "left")
+    agg = agg.withColumn(
+        "__norm_qid", F.when(F.size("all_ids") == 1, F.element_at("all_ids", 1))
+    ).join(
+        F.broadcast(bi.select(F.col("qid").alias("__norm_qid"), F.col("best_link").alias("norm_best_link"))),
+        "__norm_qid", "left",
+    )
+    keys_repr = F.concat(
+        F.lit("['"), F.concat_ws("', '", F.array_sort(F.map_keys("old_map"))), F.lit("']")
+    )
+    pre = F.map_concat(
+        _m(("wikidata", F.col("wd")), ("wikipedia", F.col("wp"))), F.col("old_map")
+    )
     converted = agg.select(
         "element_id",
         F.when(
             F.col("has_conflict"),
             _err(
                 "wikipedia tag in outdated form and there is mismatch between links",  # :917
-                F.lit("wikipedia tag in outdated form, with conflicts between links; requires human judgment"),
+                # conflict detail list canonicalized (reference embeds str(list)
+                # built in network-iteration order, :869-900)
+                F.concat(F.lit("wikipedia tag in outdated form ("), keys_repr,
+                         F.lit(", with conflicting links). Mismatch between different links "
+                               "happened and requires human judgment to solve.")),
+                prerequisite=pre,
             ),
         )
         .when(
             F.col("wp").isNull(),
             _err(
                 "wikipedia tag from wikipedia tag in an outdated form",  # :924
-                F.lit("wikipedia tag in outdated form, wikipedia tag may be added"),
+                F.concat(F.lit("wikipedia tag in outdated form ("), keys_repr,
+                         F.lit("), wikipedia tag may be added")),
+                prerequisite=pre,
+                proposed=_chg(_m(("wikipedia", None)), _m(("wikipedia", F.col("norm_best_link")))),  # :927
             ),
         )
         .otherwise(
             _err(
                 "wikipedia tag in an outdated form for removal",  # :934
-                F.lit("wikipedia tag in outdated form, with wikipedia and wikidata tag present and may be safely removed"),
+                F.concat(F.lit("wikipedia tag in outdated form ("), keys_repr,
+                         F.lit("), with wikipedia and wikidata tag present and may be safely removed")),
+                prerequisite=pre,
+                proposed=_chg(F.col("old_map"), _empty_map()),  # :937
             )
         )
         .alias("err"),
@@ -403,23 +536,28 @@ def _per_key_errors(elements: DataFrame, dims: WikiDims) -> DataFrame:
     ety = (F.col("key") == "name:etymology:wikidata:missing") & (value == "yes")
     wd_broken = wikitext.is_wikidata_value_broken(value)
     prefix = F.regexp_replace(F.col("key"), ":wikidata$", "")
+    pre_kv = _m((F.col("key"), value))
     malformed_wd = F.when(
         is_wd & ety,
         _err("name:etymology:wikidata:missing",  # :608
-             F.lit("name:etymology:wikidata:missing with value 'yes' - a really dubious tagging scheme")),
+             F.lit("name:etymology:wikidata:missing with value 'yes' - a really dubious tagging scheme"),
+             prerequisite=pre_kv),
     ).when(
         is_wd & wd_broken & (F.col("key") == "wikidata"),
         _err("malformed wikidata tag",  # :621
              F.concat(F.lit("malformed value in wikidata tag ("), value,
-                      F.lit(") value is expected to be like Q63736736  with Q at start and then numbers"))),
+                      F.lit(") value is expected to be like Q63736736  with Q at start and then numbers")),
+             prerequisite=pre_kv),
     ).when(
         is_wd & wd_broken & (F.col("key") != "wikidata") & actual & F.col("key").endswith(":wikidata"),
         _err(F.concat(F.lit("malformed secondary wikidata tag - for "), prefix, F.lit(" prefixed tags")),  # :630
-             F.concat(F.lit("malformed value in "), F.col("key"), F.lit(" tag ("), value, F.lit(")"))),
+             F.concat(F.lit("malformed value in "), F.col("key"), F.lit(" tag ("), value, F.lit(")")),
+             prerequisite=pre_kv),
     ).when(
         is_wd & wd_broken & (F.col("key") != "wikidata") & actual,
         _err(F.concat(F.lit("malformed secondary wikidata tag for "), F.col("key"), F.lit(" tag")),  # :636
-             F.concat(F.lit("malformed value in "), F.col("key"), F.lit(" tag ("), value, F.lit(")"))),
+             F.concat(F.lit("malformed value in "), F.col("key"), F.lit(" tag ("), value, F.lit(")")),
+             prerequisite=pre_kv),
     )
 
     # --- wikipedia malformed (check_is_wikipedia_link_clearly_malformed :583-602)
@@ -430,25 +568,31 @@ def _per_key_errors(elements: DataFrame, dims: WikiDims) -> DataFrame:
         is_wp & wp_broken & (F.col("key") == "wikipedia"),
         _err("malformed wikipedia tag",  # :621 via :587
              F.concat(F.lit("malformed value in wikipedia tag ("), value,
-                      F.lit(") expected forma will be like en:Idaho - with language code, colon and article name"))),
+                      F.lit(") expected forma will be like en:Idaho - with language code, colon and article name")),
+             prerequisite=pre_kv),
     ).when(
         is_wp & wp_broken & (F.col("key") != "wikipedia") & actual & F.col("key").endswith(":wikipedia"),
         _err(F.concat(F.lit("malformed secondary wikipedia tag - for "), wp_prefix, F.lit(" prefixed tags")),
-             F.concat(F.lit("malformed value in "), F.col("key"), F.lit(" tag ("), value, F.lit(")"))),
+             F.concat(F.lit("malformed value in "), F.col("key"), F.lit(" tag ("), value, F.lit(")")),
+             prerequisite=pre_kv),
     ).when(
         is_wp & wp_broken & (F.col("key") != "wikipedia") & actual,
         _err(F.concat(F.lit("malformed secondary wikipedia tag for "), F.col("key"), F.lit(" tag")),
-             F.concat(F.lit("malformed value in "), F.col("key"), F.lit(" tag ("), value, F.lit(")"))),
+             F.concat(F.lit("malformed value in "), F.col("key"), F.lit(" tag ("), value, F.lit(")")),
+             prerequisite=pre_kv),
     ).when(
         is_wp & ~wp_broken & F.array_contains(F.lit(wikitext.LANGUAGE_CODE_REDIRECTS), lang),
         _err("wikipedia tag using redirecting language code",  # :592
              F.concat(F.lit("language code ("), lang, F.lit(") in wikipedia tag ("), value,
-                      F.lit(") points to redirecting language code"))),
+                      F.lit(") points to redirecting language code, see "
+                            "https://en.wikipedia.org/wiki/List_of_Wikipedias#Redirects")),
+             prerequisite=_m(("wikipedia", value))),  # :594
     ).when(
         is_wp & ~wp_broken & ~F.array_contains(F.lit(LANGUAGE_CODES_BY_IMPORTANCE), lang),
         _err("malformed wikipedia tag - nonexisting language code",  # :598
              F.concat(F.lit("language code ("), lang, F.lit(") in wikipedia tag ("), value,
-                      F.lit(") points to nonexisting Wikipedia"))),
+                      F.lit(") points to nonexisting Wikipedia")),
+             prerequisite=_m(("wikipedia", value))),  # :600
     )
 
     # --- wikidata 404 (check_is_wikidata_page_existing :558-581); needs a join
@@ -476,10 +620,16 @@ def _per_key_errors(elements: DataFrame, dims: WikiDims) -> DataFrame:
             F.when(
                 F.col("key") == "wikidata",
                 _err("wikidata tag links to 404",  # :567
-                     F.concat(F.col("key"), F.lit(" tag present on element points to not existing element"))),
+                     F.concat(F.col("key"),
+                              F.lit(" tag present on element points to not existing element (https://www.wikidata.org/wiki/"),
+                              F.col("missing_part"), F.lit(")")),
+                     prerequisite=_m((F.col("key"), F.col("missing_part")))),  # :580
             ).otherwise(
                 _err("secondary wikidata tag links to 404",  # :569
-                     F.concat(F.col("key"), F.lit(" tag present on element points to not existing element"))),
+                     F.concat(F.col("key"),
+                              F.lit(" tag present on element points to not existing element (https://www.wikidata.org/wiki/"),
+                              F.col("missing_part"), F.lit(")")),
+                     prerequisite=_m((F.col("key"), F.col("missing_part")))),
             ).alias("err"),
         )
     )
@@ -488,16 +638,33 @@ def _per_key_errors(elements: DataFrame, dims: WikiDims) -> DataFrame:
     wp_page = tagged.where((F.col("key") == "wikipedia") & ~wp_broken).select(
         "element_id", "key_rank",
         lang.alias("lang"),
+        wikitext.article_name_of(value).alias("raw_article"),
         wikitext.strip_section(wikitext.article_name_of(value)).alias("title"),
     )
     pages = dims.pages.select("lang", "title").withColumn("page_found", F.lit(True))
+    # report_failed_wikipedia_page_link (:701-716): instructions + prerequisite
+    # + a proposed retarget. In the closed-world model pages ARE the sitelink
+    # table, so a 404'd article never has a QID -> the proposed target is null
+    # (matching the reference when get_best_interwiki_link_by_id returns None).
+    raw_link = F.concat(F.col("lang"), F.lit(":"), F.col("raw_article"))
     wp404 = (
         wp_page.join(F.broadcast(pages), ["lang", "title"], "left")
         .where(F.col("page_found").isNull())
         .select(
             "element_id", "key_rank", F.lit(3).alias("check_rank"),
-            _err("wikipedia tag links to 404",  # :711
-                 F.lit("Wikipedia article linked from OSM object using wikipedia tag is missing.")).alias("err"),
+            _err(
+                "wikipedia tag links to 404",  # :713
+                F.lit(""),
+                prerequisite=_m(("wikipedia", raw_link)),  # :714
+                proposed=_chg(_m(("wikipedia", raw_link)), _m(("wikipedia", None))),  # :715
+                instructions=F.lit(
+                    "Wikipedia article linked from OSM object using wikipedia tag is missing.\n"
+                    "Often article was moved without leaving redirect and wikipedia tag should"
+                    " be edited to point to the new one.\n"
+                    "Article may be deleted and no longer existing, or link was never valid."
+                    " In such cases wikipedia tag should be deleted."
+                ),  # :703-706
+            ).alias("err"),
         )
     )
 
@@ -570,6 +737,12 @@ def _collision_errors(elements: DataFrame, dims: WikiDims, facts: DataFrame) -> 
         "wd_val", "left",
     )
 
+    # best interwiki of the wikidata-side qid (for the disambig retarget, :1090)
+    pairs = pairs.join(
+        F.broadcast(facts.select(F.col("qid").alias("wd_val"), F.col("best_link").alias("wd_side_best_link"))),
+        "wd_val", "left",
+    )
+
     sfx = F.when(F.col("wd_key") == "wikidata", F.lit("")).otherwise(
         F.concat(F.lit(" - for "), prefix, F.lit(" prefixed tags"))
     )
@@ -579,30 +752,71 @@ def _collision_errors(elements: DataFrame, dims: WikiDims, facts: DataFrame) -> 
         & (F.col("redir_title") != F.col("article"))
         & ~F.col("article").contains("#")
     )
+    wp_link = F.concat(F.col("lang"), F.lit(":"), F.col("article"))
+    pre = _m((F.col("wd_key"), F.col("wd_val")), (F.col("wp_key"), wp_link))
+    base_message = F.concat(
+        F.col("wd_key"), F.lit(" and "), F.col("wp_key"), F.lit(" tags link to a different objects")
+    )
+    compare = F.concat(
+        F.coalesce(F.col("wd_val"), F.lit("(missing)")), F.lit(" vs "),
+        F.coalesce(F.col("qid_article"), F.lit("(missing)")),
+    )  # compare_wikidata_ids (:1142-1147)
+    # NOTE: in the disambig branch the reference reuses the *stale*
+    # wikidata-redirect common_message as instructions (:1050, :1092-1098)
+    wd_redirect_instr = F.concat(
+        base_message, F.lit(", because "), F.col("wd_key"),
+        F.lit(" tag points to a redirect that should be followed"),
+    )
     err = F.when(
         mismatch
         & F.col("wd_redirected").isNotNull() & (F.col("wd_redirected") != F.col("wd_val"))
         & F.col("wd_redirected").eqNullSafe(F.col("qid_article")),
         _err(F.concat(F.lit("wikipedia wikidata mismatch - follow wikidata redirect"), sfx),  # :1056
-             F.concat(F.col("wd_key"), F.lit(" tag points to a redirect that should be followed"))),
+             compare, prerequisite=pre, instructions=wd_redirect_instr),  # :1057-1059
     ).when(
         mismatch & is_redirected & F.col("wd_val").eqNullSafe(F.col("qid_redirect")),
         _err(F.concat(F.lit("wikipedia wikidata mismatch - follow wikipedia redirect"), sfx),  # :1081
-             F.concat(F.col("wp_key"), F.lit(" tag points to a redirect that should be followed"))),
+             F.concat(compare, F.lit(" article redirects from "), wp_link, F.lit(" to "),
+                      F.col("lang"), F.lit(":"), F.col("redir_title")),  # :1077-1078
+             prerequisite=pre,
+             proposed=_chg(
+                 _m((F.col("wp_key"), wp_link)),
+                 _m((F.col("wp_key"), F.concat(F.col("lang"), F.lit(":"), F.col("redir_title")))),
+             ),  # :1085
+             instructions=F.concat(
+                 base_message, F.lit(", because "), F.col("wp_key"),
+                 F.lit(" tag points to a redirect that should be followed"))),
     ).when(
         mismatch & F.coalesce("article_disambig", F.lit(False)) & ~F.coalesce("wd_disambig", F.lit(False)),
         _err(
             F.concat(F.lit("wikipedia wikidata mismatch - wikipedia points to disambiguation page and wikidata does not"), sfx),  # :1092
-            F.concat(F.lit("article claims to point to disambig, "), F.col("wd_key"), F.lit(" does not.")),
+            F.concat(F.lit("article claims to point to disambig, "), F.col("wd_key"),
+                     F.lit(" does not. "), F.col("wd_key"), F.lit(" tag is likely to be correct, "),
+                     F.col("wp_key"), F.lit(" tag almost certainly is not")),  # :1091
+            prerequisite=pre,
+            proposed=_chg(_m((F.col("wp_key"), wp_link)), _m((F.col("wp_key"), F.col("wd_side_best_link")))),  # :1096
+            instructions=wd_redirect_instr,
         ),
     ).when(
         mismatch,
         _err(F.concat(F.lit("wikipedia wikidata mismatch"), sfx),  # :1125
-             F.concat(F.col("wd_key"), F.lit(" and "), F.col("wp_key"),
-                      F.lit(" tags link to a different objects ("),
-                      F.coalesce(F.col("wd_val"), F.lit("(missing)")), F.lit(" vs "),
-                      F.coalesce(F.col("qid_article"), F.lit("(missing)")),
-                      F.lit(" wikidata id assigned to linked Wikipedia article)"))),
+             F.concat(
+                 base_message, F.lit(" ("), compare,
+                 F.lit(" wikidata id assigned to linked Wikipedia article)"),
+                 F.when(  # :1120-1122
+                     F.col("wd_redirected").isNotNull() & (F.col("wd_redirected") != F.col("wd_val")),
+                     F.concat(F.lit(" Note that this OSM object has "), F.col("wd_key"),
+                              F.lit(" tag links a redirect ("), F.col("wd_val"),
+                              F.lit(" to "), F.col("wd_redirected"), F.lit(").")),
+                 ).otherwise(F.lit("")),
+                 F.when(  # :1123-1125
+                     is_redirected,
+                     F.concat(F.lit(" Note that this OSM object has "), F.col("wp_key"),
+                              F.lit(" tag that links redirect ('"), F.col("article"),
+                              F.lit("' to '"), F.col("redir_title"), F.lit("').")),
+                 ).otherwise(F.lit("")),
+             ),
+             prerequisite=pre),
     )
     return (
         pairs.select("element_id", "pair_rank", err.alias("err"))
@@ -610,6 +824,54 @@ def _collision_errors(elements: DataFrame, dims: WikiDims, facts: DataFrame) -> 
         .groupBy("element_id")
         .agg(F.min_by("err", F.col("pair_rank")).alias("err"))
     )
+
+
+def ser_map_col(m: Column) -> Column:
+    """Canonical map serialization (sorted 'k=v' joined by '|', null value ->
+    '∅') — must agree byte-for-byte with sources.synthetic.ser_map so the
+    driver's DuckDB oracle can compare payloads as plain strings."""
+    return F.when(
+        m.isNotNull(),
+        F.concat_ws("|", F.transform(
+            F.array_sort(F.map_keys(m)),
+            lambda k: F.concat(k, F.lit("="), F.coalesce(F.element_at(m, k), F.lit("∅"))),
+        )),
+    )
+
+
+def ser_changes_col(c: Column) -> Column:
+    """Canonical proposed_tagging_changes serialization (synthetic.ser_changes)."""
+    return F.when(
+        c.isNotNull(),
+        F.concat_ws(";;", F.transform(
+            c,
+            lambda ch: F.concat(F.lit("from{"), F.coalesce(ser_map_col(ch["from"]), F.lit("")),
+                                F.lit("}to{"), F.coalesce(ser_map_col(ch["to"]), F.lit("")), F.lit("}")),
+        )),
+    )
+
+
+def _replace_prereq_hack(err: Column) -> Column:
+    """replace_prerequisites_to_match_actual_tags (:425-443, SURVEY.md P19):
+    when the report's prerequisite names 'wikidata' but the element has no
+    wikidata tag (the qid was derived from the wikipedia tag), swap the
+    prerequisite to the actual wikipedia tag. Requires `tags` in scope."""
+    pre = err["prerequisite"]
+    applicable = (
+        err.isNotNull() & pre.isNotNull() & F.map_contains_key(pre, "wikidata")
+        & ~F.map_contains_key(F.col("tags"), "wikidata")
+        & F.map_contains_key(F.col("tags"), "wikipedia")
+    )
+    new_pre = F.map_concat(
+        F.map_filter(pre, lambda k, v: (k != "wikidata") & (k != "wikipedia")),
+        F.create_map(F.lit("wikipedia"), F.element_at(F.col("tags"), "wikipedia")),
+    ).cast(MAP_TYPE)
+    return F.when(
+        applicable,
+        _err(err["error_id"], err["error_message"], prerequisite=new_pre,
+             proposed=err["proposed_tagging_changes"],
+             instructions=err["error_general_intructions"]),
+    ).otherwise(err)
 
 
 # =====================================================================
@@ -692,10 +954,16 @@ def resolve(elements: DataFrame, dims: WikiDims, cfg: ResolveConfig | None = Non
     fixme = F.when(
         F.map_contains_key("tags", "fixme:wikipedia"),
         _err("something is wrong with wikipedia tag - fixme:wikipedia is present",  # :448
-             F.lit("see fixme:wikipedia tag for hints")),
+             F.lit("see fixme:wikipedia tag for hints"),
+             # [sic] the reference stores tags['wikipedia'] (not the fixme value), :450
+             prerequisite=_m(("fixme:wikipedia", F.col("wikipedia")))),
     )
 
     whitelisted = F.col("effective_wd").isin(knowledge.skipped_cases())  # :460-461
+
+    # get_effective_wikipedia_tag (:410-414): the wikipedia tag, else the
+    # best interwiki of the wikidata tag
+    effective_wp = F.coalesce(F.col("wikipedia"), F.col("wd_best_link"))
 
     bl = knowledge.blacklist_df(spark).withColumnRenamed("qid", "effective_wd").withColumnRenamed("prefix", "bl_prefix")
     base = base.join(F.broadcast(bl), "effective_wd", "left")
@@ -704,17 +972,20 @@ def resolve(elements: DataFrame, dims: WikiDims, cfg: ResolveConfig | None = Non
         _err("blacklisted connection with known replacement",  # :552
              F.concat(F.lit("it is a typical wrong link and it has an obvious replacement, "),
                       F.col("bl_prefix"), F.lit("wikipedia/"), F.col("bl_prefix"),
-                      F.lit("wikidata should be used instead"))),
+                      F.lit("wikidata should be used instead")),
+             prerequisite=_m(("wikipedia", effective_wp), ("wikidata", F.col("wikidata")))),  # :554
     )
 
     board = F.when(
         (_tag("information") == "board") & F.col("wikipedia").isNotNull(),
         _err("information board with wikipedia tag, not subject:wikipedia",  # :470
-             F.lit("information board topic must be tagged with subject:wikipedia tag - not with wikipedia tag")),
+             F.lit("information board topic must be tagged with subject:wikipedia tag - not with wikipedia tag"),
+             prerequisite=_m(("wikipedia", F.col("wikipedia")), ("information", _tag("information")))),  # :472
     ).when(
         (_tag("information") == "board") & F.col("wikidata").isNotNull(),
         _err("information board with wikidata tag, not subject:wikidata",  # :476
-             F.lit("information board topic must be tagged with subject:wikidata tag - not with wikipedia tag")),
+             F.lit("information board topic must be tagged with subject:wikidata tag - not with wikipedia tag"),
+             prerequisite=_m(("wikidata", F.col("wikidata")), ("information", _tag("information")))),  # :478
     )
 
     # not:* contradiction (:481-493) — pure map expression, no explode
@@ -725,22 +996,35 @@ def resolve(elements: DataFrame, dims: WikiDims, cfg: ResolveConfig | None = Non
         & F.element_at("tags", k.substr(F.lit(5), F.length(k))).isNotNull()
         & (F.element_at("tags", k.substr(F.lit(5), F.length(k))) == F.element_at("tags", k)),
     )
+    not_key = F.array_min(not_keys)
+    checked_key = not_key.substr(F.lit(5), F.length(not_key))
+    not_val = F.element_at("tags", not_key)
     not_err = F.when(
         F.size(not_keys) > 0,
         _err("wikipedia/wikidata type tag that is incorrect according to not:* tag",  # :488
-             F.concat(F.array_min(not_keys), F.lit(" contradiction present - at least one of them is wrong"))),
+             F.concat(checked_key, F.lit("="), F.element_at("tags", checked_key),
+                      F.lit(" is present despite that "), not_key, F.lit("="), not_val,
+                      F.lit(" is also present - at least one of them is wrong")),  # :489
+             prerequisite=_m((checked_key, F.element_at("tags", checked_key)), (not_key, not_val))),  # :490
     )
 
     # wikidata-semantics block (:495-501 → get_problem_based_on_wikidata_base_types)
     tag_summary = _summary_of_tags(F.col("wikidata"), F.col("wikipedia"))
+    pre_eff_wd = _m(("wikidata", F.col("effective_wd")))
     disambig_err = F.when(
         F.col("eff_is_disambig"),
         _err("link to a disambiguation page",  # :1749
-             F.lit("link leads to a disambig page - not a proper wikipedia link")),
+             # reference appends the distance-ranked disambig outlink list
+             # (:1746-1747); emitted by the disambig.py operator separately
+             F.lit("link leads to a disambig page - not a proper wikipedia link "
+                   "(according to Wikidata - if target is not a disambig check Wikidata "
+                   "entry whether it is correct)\n\n"),
+             prerequisite=pre_eff_wd),  # :1751
     ).when(
         F.col("eff_is_list") & ~F.coalesce(F.col("wikipedia").contains("#"), F.lit(False)),  # :497-501 suppression
         _err("link to a list",  # :1756
-             F.lit("article linked in wikipedia tag is a list, so it is very unlikely to be correct")),
+             F.lit("article linked in wikipedia tag is a list, so it is very unlikely to be correct"),
+             prerequisite=pre_eff_wd),  # :1758
     )
 
     # unlinkable-as-primary (:1480-1533) with tag exemptions (:1512-1522)
@@ -758,22 +1042,27 @@ def resolve(elements: DataFrame, dims: WikiDims, cfg: ResolveConfig | None = Non
         _err(
             F.concat(F.lit("should use a secondary wikipedia tag - linking from "),
                      tag_summary, F.lit(" tag to "), F.col("eff_unlink_what")),  # :1340
-            F.concat(F.lit("linked wikidata entry ("), F.col("effective_wd"), F.lit(") is about "),
-                     F.col("eff_unlink_what"), F.lit(", so it is very unlikely to be correct")),
+            _subject_message(F.col("eff_unlink_what"), F.col("eff_unlink_replacement"),
+                             F.col("effective_wd"), F.col("eff_best_link")),  # :1311-1327
+            prerequisite=pre_eff_wd,  # :1342
         ),
     )
 
-    # property-based unlinkable (:1421-1431)
+    # property-based unlinkable (:1421-1431): special_prefix is 'name:'
     prop_err = F.when(
         F.col("eff_has_p247"),
         _err(F.concat(F.lit("should use a secondary wikipedia tag - linking from "),
                       tag_summary, F.lit(" tag to a spacecraft")),
-             F.lit("linked wikidata entry is about a spacecraft")),
+             _subject_message(F.lit("a spacecraft"), F.lit("name:"),
+                              F.col("effective_wd"), F.col("eff_best_link")),
+             prerequisite=pre_eff_wd),
     ).when(
         F.col("eff_has_p279_claim"),
         _err(F.concat(F.lit("should use a secondary wikipedia tag - linking from "),
                       tag_summary, F.lit(" tag to an uncoordinable generic object")),
-             F.lit("linked wikidata entry is about an uncoordinable generic object")),
+             _subject_message(F.lit("an uncoordinable generic object"), F.lit("name:"),
+                              F.col("effective_wd"), F.col("eff_best_link")),
+             prerequisite=pre_eff_wd),
     )
 
     # headquarters distance (:1880-1895): any P159 location > 20 km away
@@ -788,7 +1077,9 @@ def resolve(elements: DataFrame, dims: WikiDims, cfg: ResolveConfig | None = Non
         hq_far,
         _err(F.concat(F.lit("should use a secondary wikipedia tag - linking from "),
                       tag_summary, F.lit(" tag to a company that has multiple locations")),  # :1893
-             F.lit("linked wikidata entry is about a company that has multiple locations")),
+             _subject_message(F.lit("a company that has multiple locations"), F.lit("brand:"),
+                              F.col("effective_wd"), F.col("eff_best_link")),
+             prerequisite=pre_eff_wd),
     )
 
     # taxon checks (:1772-1830): species:/genus: via P105, taxon: via ontology
@@ -797,18 +1088,20 @@ def resolve(elements: DataFrame, dims: WikiDims, cfg: ResolveConfig | None = Non
         name = pfx.rstrip(":")
         qid_col = F.col(f"__tx_{name}_qid")
         applicable = qid_col.isNotNull() & ~qid_col.contains(";")  # :1792-1794
+        # prerequisite (:1800, :1808, :1829): both prefixed tags, raw values
+        pre_tx = _m((pfx + "wikidata", _tag(pfx + "wikidata")), (pfx + "wikipedia", _tag(pfx + "wikipedia")))
         if via == "p105":
             eid = f"{name} secondary tag links something that is not {name} according to wikidata (checking P105)"
             err = F.when(
                 applicable & F.col(f"tx_{name}_p105_qids").isNull(),
-                _err(eid, "no P105"),  # :1796-1801
+                _err(eid, "no P105", prerequisite=pre_tx),  # :1796-1801
             ).when(
                 applicable & ~F.array_contains(F.coalesce(f"tx_{name}_p105_qids", F.array()), expected),
-                _err(eid, "no matching P105"),  # :1802-1809
+                _err(eid, "no matching P105", prerequisite=pre_tx),  # :1802-1809
             )
         else:
             eid = f"{name} secondary tag links something that is not {name} according to wikidata (checking regular ontology)"
-            err = F.when(applicable & ~F.col(f"tx_{name}_is_taxon"), _err(eid, eid))  # :1822-1830
+            err = F.when(applicable & ~F.col(f"tx_{name}_is_taxon"), _err(eid, eid, prerequisite=pre_tx))  # :1822-1830
         taxon_errs.append(err)
 
     semantics_err = F.coalesce(disambig_err, unlink_err, prop_err, hq_err, *taxon_errs)
@@ -817,9 +1110,10 @@ def resolve(elements: DataFrame, dims: WikiDims, cfg: ResolveConfig | None = Non
     # bot-wikipedia (ceb) check applies (:1224-1232).
     cur_lang = F.col("wp_lang")
     bot = cur_lang == "ceb"
-    bot_err = _err("wikipedia tag links bot wikipedia",  # :1227
-                   F.concat(F.lit("wikipedia page in unexpected language - "), cur_lang,
-                            F.lit(" is a low quality, bot generated wikipedia - it should not be linked")))
+    lang_pre = _m(("wikipedia", F.col("wikipedia")), ("wikidata", F.col("wikidata")))  # :1213
+    botpedia_msg = F.concat(F.lit("wikipedia page in unexpected language - "), cur_lang,
+                            F.lit(" is a low quality, bot generated wikipedia - it should not be linked"))
+    bot_err = _err("wikipedia tag links bot wikipedia", botpedia_msg, prerequisite=lang_pre)  # :1227
     if cfg.expected_language_code is None:
         lang_err = F.when(F.col("wikipedia").isNotNull() & bot, bot_err)
     else:
@@ -837,6 +1131,8 @@ def resolve(elements: DataFrame, dims: WikiDims, cfg: ResolveConfig | None = Non
             | (F.size(F.coalesce("eff_countries", F.array())) == 0)
             | any_foreign_country
         )
+        good_link = F.concat(F.lit(cfg.expected_language_code), F.lit(":"), recommended)  # :1245
+        lang_proposed = _chg(_m(("wikipedia", F.col("wikipedia"))), _m(("wikipedia", good_link)))
         lang_err = F.when(
             F.col("wikipedia").isNull(), F.lit(None).cast(ERR_SCHEMA)
         ).when(
@@ -846,15 +1142,17 @@ def resolve(elements: DataFrame, dims: WikiDims, cfg: ResolveConfig | None = Non
         ).when(
             allowed_foreign,
             F.when(bot, _err("wikipedia tag links bot wikipedia in border region, can be changed to alternative",  # :1263
-                             F.lit("bot wikipedia linked in border region"))),  # cur != recommended lang here
+                             botpedia_msg, prerequisite=lang_pre)),  # cur != recommended lang here
         ).when(
             bot,
             _err("wikipedia tag links bot wikipedia",  # :1280
-                 F.lit("bot generated wikipedia linked; a potential replacement exists")),
+                 F.concat(botpedia_msg, F.lit(" fortunately, in this case, a potential replacement exists")),
+                 prerequisite=lang_pre, proposed=lang_proposed),  # :1282-1283
         ).otherwise(
             _err("wikipedia tag unexpected language",  # :1286
                  F.concat(F.lit("wikipedia page in unexpected language - "),
-                          F.lit(cfg.expected_language_code), F.lit(" was expected:"))),
+                          F.lit(cfg.expected_language_code), F.lit(" was expected:")),
+                 prerequisite=lang_pre, proposed=lang_proposed),  # :1288-1289
         )
     # whole semantics block suppressed for special-skip qids (:1486-1498 via unlink only;
     # disambig/list/property checks are not — but ambiguous-item & ignore apply to unlink only)
@@ -863,55 +1161,90 @@ def resolve(elements: DataFrame, dims: WikiDims, cfg: ResolveConfig | None = Non
     exist_err = F.when(
         F.col("eff_dissolved") & F.col("effective_wd").isNotNull(),
         _err("no longer existing object (according to Wikidata)",  # :729
-             F.lit("Wikidata claims that this object no longer exists")),
+             F.lit(""),  # :727 — the detail lives in error_general_intructions
+             prerequisite=pre_eff_wd,  # :732
+             instructions=F.lit(
+                 "Wikidata claims that this object no longer exists. Historical, no longer"
+                 " existing object should not be mapped in OSM (except temporary marking to"
+                 " avoid remapping them from aerial imagery or similar sources) - so it means"
+                 " that either Wikidata is mistaken or has only partial data - for example it"
+                 " is fine to link ruins of a church to its wikipedia entry ( see"
+                 " https://www.wikidata.org/w/index.php?title=Wikidata:Project_chat&oldid=1361617968#Tagging_ruins/remains_left_after_object"
+                 " ) or wikipedia/wikidata tag is wrong or OSM has an outdated object that"
+                 " should be removed. " + DATA_QUALITY_WARNING)),  # :726
     )
 
     # brand dissolved (:511-514, :752-793) — needs explode over ';' values
     brand_err_df = _brand_errors(elements, facts)
     base = base.join(brand_err_df, "element_id", "left")
 
+    # [sic] the reference stores bridge:wikipedia's value under BOTH keys (:520)
+    bridge_pre = _m(("bridge:wikipedia", _tag("bridge:wikipedia")),
+                    ("bridge:wikidata", _tag("bridge:wikipedia")))
     bridge_err = F.when(
         F.map_contains_key("tags", "bridge:wikipedia") & F.map_contains_key("tags", "bridge:wikidata"),
         _err("bridge:wikipedia and bridge:wikidata - move to bridge outline",  # :518
-             F.lit("bridge:wikipedia and bridge:wikidata links should be tagged on man_made=bridge outline")),
+             F.lit("bridge:wikipedia and bridge:wikidata links should be tagged on man_made=bridge"
+                   " outline - without prefixes as wikipedia=* and wikidata=*, not on way across"
+                   " bridge. man_made=bridge object may be missing and it may be necessary to draw"
+                   " it, it may be useful to move also some other bridge tags"),  # :519
+             prerequisite=bridge_pre),
     ).when(
         F.map_contains_key("tags", "bridge:wikipedia"),
         _err("bridge:wikipedia - move to bridge outline",  # :525
-             F.lit("bridge:wikipedia link should be tagged on man_made=bridge outline")),
+             F.lit("bridge:wikipedia link should be tagged on man_made=bridge outline - without"
+                   " prefix, as just wikipedia=*, not on way across bridge. man_made=bridge object"
+                   " may be missing and it may be necessary to draw it, it may be useful to move"
+                   " also some other bridge tags"),  # :526
+             prerequisite=bridge_pre),
     ).when(
         F.map_contains_key("tags", "bridge:wikidata"),
         _err("bridge:wikipedia and bridge:wikidata - move to bridge outline",  # :532
-             F.lit("bridge:wikidata link should be tagged on man_made=bridge outline")),
+             F.lit("bridge:wikidata link should be tagged on man_made=bridge outline - without"
+                   " prefix, as just wikidata=*, not on way across bridge. man_made=bridge object"
+                   " may be missing and it may be necessary to draw it, it may be useful to move"
+                   " also some other bridge tags"),  # :533
+             prerequisite=bridge_pre),
     )
 
     err3 = F.coalesce(
         fixme,
         F.when(whitelisted, F.lit(None).cast(ERR_SCHEMA)).otherwise(
-            F.coalesce(blacklist_err, board, not_err, semantics_err, lang_err,
+            F.coalesce(_replace_prereq_hack(blacklist_err), board, not_err,
+                       _replace_prereq_hack(semantics_err), lang_err,
                        exist_err, F.col("brand_err"), bridge_err)
         ),
     )
     # NOTE: fixme precedes the whitelist (reference order :446-461); the
-    # whitelist suppresses only the remainder of stage 3.
+    # whitelist suppresses only the remainder of stage 3. The P19 prerequisite
+    # rewrite (:425-443) applies exactly where the reference applies it:
+    # blacklist (:465) and the wikidata-semantics block (:501).
 
     # ---- stage 4: completion (:392-408)
     wd_from_wp = F.when(
         F.col("wikidata").isNull() & F.col("qid_from_wp").isNotNull(),
         _err("wikidata from wikipedia tag",  # :675
-             F.concat(F.col("qid_from_wp"), F.lit(" may be added as wikidata tag based on wikipedia tag"))),
+             F.concat(F.col("qid_from_wp"), F.lit(" may be added as wikidata tag based on wikipedia tag")),
+             prerequisite=_m(("wikipedia", F.col("wikipedia")), ("wikidata", None))),  # :678
     )
     has_old_style = F.exists(F.map_keys("tags"), lambda k: k.contains("wikipedia:"))
     bi_lang = wikitext.lang_code_of(F.col("wd_best_link"))
+    wp_from_wd_pre = _m(("wikipedia", None), ("wikidata", F.col("wikidata")))  # :959, :966
+    wp_from_wd_proposed = _chg(_m(("wikipedia", None)), _m(("wikipedia", F.col("wd_best_link"))))  # :960, :967
     wp_from_wd = F.when(
         F.col("wikipedia").isNull() & F.col("wikidata").isNotNull() & ~has_old_style
         & F.col("wd_best_link").isNotNull() & (bi_lang != "ceb"),
         F.when(
             F.lit(cfg.expected_language_code).isNotNull() & (bi_lang == F.lit(cfg.expected_language_code)),
             _err("wikipedia from wikidata tag",  # :957
-                 F.lit("without wikipedia tag, with wikidata tag present that provides article")),
+                 F.lit("without wikipedia tag, without wikipedia:language tags, with wikidata tag"
+                       " present that provides article, article language is not surprising"),  # :958
+                 prerequisite=wp_from_wd_pre, proposed=wp_from_wd_proposed),
         ).otherwise(
             _err("wikipedia from wikidata tag, unexpected language",  # :964
-                 F.lit("without wikipedia tag, with wikidata tag present that provides article")),
+                 F.lit("without wikipedia tag, without wikipedia:language tags, with wikidata tag"
+                       " present that provides article"),  # :965
+                 prerequisite=wp_from_wd_pre, proposed=wp_from_wd_proposed),
         ),
     )
     err4 = F.coalesce(wd_from_wp, wp_from_wd)
@@ -920,8 +1253,19 @@ def resolve(elements: DataFrame, dims: WikiDims, cfg: ResolveConfig | None = Non
         "err",
         F.coalesce(err1, F.col("err_2a"), F.col("err_2b"), F.col("err_2c"), err3, err4),
     )
+    # bind_to_element (:25-31): tags, object url, location ride along with
+    # every report row
     return final.where(F.col("err").isNotNull()).select(
-        "element_id", F.col("err.error_id").alias("error_id"), F.col("err.error_message").alias("error_message")
+        "element_id",
+        F.col("err.error_id").alias("error_id"),
+        F.col("err.error_message").alias("error_message"),
+        F.col("err.error_general_intructions").alias("error_general_intructions"),
+        F.col("err.prerequisite").alias("prerequisite"),
+        F.col("err.proposed_tagging_changes").alias("proposed_tagging_changes"),
+        F.concat(F.lit("https://www.openstreetmap.org/"), F.col("object_type"),
+                 F.lit("/"), F.col("element_id")).alias("osm_object_url"),
+        F.struct(F.col("lat"), F.col("lon")).alias("location"),
+        F.col("tags").alias("tags"),
     )
 
 
@@ -939,13 +1283,21 @@ def _brand_errors(elements: DataFrame, facts: DataFrame) -> DataFrame:
         active = active | (_tag(mt).isNotNull() & ~_tag(mt).isin("no", "vacant"))
     b = b.select(
         "element_id", defunct.alias("marked_defunct"), active.alias("marked_active"),
-        F.explode(F.split(_tag("brand:wikidata"), ";", -1)).alias("qid"),
+        _tag("brand:wikidata").alias("brand_tag"),
+        F.posexplode(F.split(_tag("brand:wikidata"), ";", -1)).alias("pos", "qid"),
     )
     dis = facts.select("qid", "dissolved")
     agg = (
         b.join(F.broadcast(dis), "qid", "left")
-        .groupBy("element_id", "marked_defunct", "marked_active")
-        .agg(F.collect_list(F.when(F.col("dissolved"), F.col("qid"))).alias("dissolved_qids"))
+        .groupBy("element_id", "marked_defunct", "marked_active", "brand_tag")
+        .agg(
+            # deterministic split-order list (the reference iterates split(';')
+            # order, :740-750): sort collected (pos, qid) structs then project
+            F.array_sort(
+                F.collect_list(F.when(F.col("dissolved"), F.struct("pos", "qid")))
+            ).alias("dissolved_pq")
+        )
+        .withColumn("dissolved_qids", F.transform("dissolved_pq", lambda s: s["qid"]))
         .where(F.size("dissolved_qids") > 0)
     )
     state = F.when(
@@ -963,7 +1315,14 @@ def _brand_errors(elements: DataFrame, facts: DataFrame) -> DataFrame:
         "element_id",
         F.when(
             state.isNotNull(),
-            _err(state, F.concat(F.lit("wikidata "), F.concat_ws(", ", "dissolved_qids"),
-                                 F.lit(" is marked as dissolved"))),  # :770
+            _err(state,
+                 F.concat(F.lit("wikidata "), F.concat_ws(", ", "dissolved_qids"),
+                          F.lit(" is marked as dissolved")),  # :770
+                 prerequisite=_m(("wikidata", F.col("brand_tag"))),  # :792 [sic key 'wikidata']
+                 instructions=F.lit(
+                     "Wikidata claims that assigned brand object no longer exists. That means"
+                     " that either this shop is gone or it is rebranded. Or brand:wikidata tag"
+                     " is wrong. Historical, no longer existing object should not be mapped in"
+                     " OSM. " + DATA_QUALITY_WARNING)),  # :768
         ).alias("brand_err"),
     ).where(F.col("brand_err").isNotNull())

@@ -314,117 +314,214 @@ def generate_wikidata_dim() -> dict[str, pd.DataFrame]:
     }
 
 
-def generate_test_elements() -> pd.DataFrame:
-    """Golden element/tag cases (FIXTURES.md §5) with expected error_id.
+def _golden_cases() -> list[tuple]:
+    """(object_type, tags, lat, lon, expected_error_id, payload) where payload
+    is None or {'pre': prerequisite-dict, 'prop': proposed_tagging_changes}.
 
-    expected_error_id None == element is clean; 'FILTERED' == element is
-    dropped by the deletion filter. Citations: the reference's own tests
-    (test_wikimedia_link_issue_reporter.py) pin these ids.
-    """
-    cases = [
-        # (object_type, tags, lat, lon, expected_error_id)
-        ("node", {"wikidata": "Saturn"}, 40.0, -74.0, "malformed wikidata tag"),
-        ("node", {"wikidata": "", "wikipedia": "en:Oslo"}, 40.0, -74.0, "malformed wikidata tag"),
-        ("node", {"wikidata": "Q999999999"}, 40.0, -74.0, "wikidata tag links to 404"),
-        ("node", {"wikipedia": "https://wikipedia.org/wiki/Article"}, 40.0, -74.0, "malformed wikipedia tag"),
-        ("node", {"nonsense:wikidata": "Q999999999"}, 40.0, -74.0, "secondary wikidata tag links to 404"),
+    expected_error_id None == clean; 'FILTERED' == dropped by the deletion
+    filter. error_ids and payloads mirror the reference's own constructions
+    (wikimedia_link_issue_reporter.py, cited per error site in linkres.py)."""
+    return [
+        ("node", {"wikidata": "Saturn"}, 40.0, -74.0, "malformed wikidata tag",
+         {"pre": {"wikidata": "Saturn"}}),
+        ("node", {"wikidata": "", "wikipedia": "en:Oslo"}, 40.0, -74.0, "malformed wikidata tag",
+         {"pre": {"wikidata": ""}}),
+        ("node", {"wikidata": "Q999999999"}, 40.0, -74.0, "wikidata tag links to 404",
+         {"pre": {"wikidata": "Q999999999"}}),
+        ("node", {"wikipedia": "https://wikipedia.org/wiki/Article"}, 40.0, -74.0, "malformed wikipedia tag",
+         {"pre": {"wikipedia": "https://wikipedia.org/wiki/Article"}}),
+        ("node", {"nonsense:wikidata": "Q999999999"}, 40.0, -74.0, "secondary wikidata tag links to 404",
+         {"pre": {"nonsense:wikidata": "Q999999999"}}),
         ("node", {"name:etymology:wikipedia": "https://x.org/wiki/A"}, 40.0, -74.0,
-         "malformed secondary wikipedia tag - for name:etymology prefixed tags"),
-        ("node", {"buried:wikidata": "Q1565289;Q1564970;"}, 40.0, -74.0, None),
+         "malformed secondary wikipedia tag - for name:etymology prefixed tags",
+         {"pre": {"name:etymology:wikipedia": "https://x.org/wiki/A"}}),
+        ("node", {"buried:wikidata": "Q1565289;Q1564970;"}, 40.0, -74.0, None, None),
         ("node", {"buried:wikidata": "Q12636988;"}, 40.0, -74.0,
-         "malformed secondary wikidata tag - for buried prefixed tags"),
+         "malformed secondary wikidata tag - for buried prefixed tags",
+         {"pre": {"buried:wikidata": "Q12636988;"}}),
         ("node", {"buried:wikidata": "Q1565289; Q1564970"}, 40.0, -74.0,
-         "malformed secondary wikidata tag - for buried prefixed tags"),
-        ("node", {"wikipedia:fixme": "en:Whatever"}, 40.0, -74.0, "invalid old-style wikipedia tag"),
+         "malformed secondary wikidata tag - for buried prefixed tags",
+         {"pre": {"buried:wikidata": "Q1565289; Q1564970"}}),
+        ("node", {"wikipedia:fixme": "en:Whatever"}, 40.0, -74.0, "invalid old-style wikipedia tag",
+         {"pre": {"wikipedia:fixme": "en:Whatever"}}),
+        # P19 prerequisite rewrite: report built on effective wikidata Q999000,
+        # but tags carry only wikipedia -> prerequisite swaps to wikipedia (:439-442)
         ("node", {"wikipedia": "en:Stanislav Example"}, 40.0, -74.0,
-         "should use a secondary wikipedia tag - linking from wikipedia tag to a human"),
+         "should use a secondary wikipedia tag - linking from wikipedia tag to a human",
+         {"pre": {"wikipedia": "en:Stanislav Example"}}),
         ("node", {"not:brand:wikidata": "Q177054", "brand:wikidata": "Q177054"}, 40.0, -74.0,
-         "wikipedia/wikidata type tag that is incorrect according to not:* tag"),
+         "wikipedia/wikidata type tag that is incorrect according to not:* tag",
+         {"pre": {"brand:wikidata": "Q177054", "not:brand:wikidata": "Q177054"}}),
+        # [sic] the reference stores tags['wikipedia'] (absent -> None), :450
         ("node", {"fixme:wikipedia": "podpern"}, 40.0, -74.0,
-         "something is wrong with wikipedia tag - fixme:wikipedia is present"),
-        ("node", {"note:wikidata": "gibberish"}, 40.0, -74.0, None),
-        ("node", {"source:wikidata": "gibberish"}, 40.0, -74.0, None),
-        ("node", {"wikidata:note": "gibberish"}, 40.0, -74.0, None),
-        ("node", {"wikidata": "Q106617236"}, 40.0, -74.0, None),  # whitelist
+         "something is wrong with wikipedia tag - fixme:wikipedia is present",
+         {"pre": {"fixme:wikipedia": None}}),
+        ("node", {"note:wikidata": "gibberish"}, 40.0, -74.0, None, None),
+        ("node", {"source:wikidata": "gibberish"}, 40.0, -74.0, None, None),
+        ("node", {"wikidata:note": "gibberish"}, 40.0, -74.0, None, None),
+        ("node", {"wikidata": "Q106617236"}, 40.0, -74.0, None, None),  # whitelist
         ("node", {"information": "board", "wikipedia": "en:Megapolis"}, 40.0, -74.0,
-         "information board with wikipedia tag, not subject:wikipedia"),
+         "information board with wikipedia tag, not subject:wikipedia",
+         {"pre": {"wikipedia": "en:Megapolis", "information": "board"}}),
         ("node", {"information": "board", "wikidata": "Q100"}, 40.0, -74.0,
-         "information board with wikidata tag, not subject:wikidata"),
+         "information board with wikidata tag, not subject:wikidata",
+         {"pre": {"wikidata": "Q100", "information": "board"}}),
+        # [sic] both prerequisite values from bridge:wikipedia (:520)
         ("way", {"bridge:wikipedia": "en:Megapolis"}, 40.0, -74.0,
-         "bridge:wikipedia - move to bridge outline"),
+         "bridge:wikipedia - move to bridge outline",
+         {"pre": {"bridge:wikipedia": "en:Megapolis", "bridge:wikidata": "en:Megapolis"}}),
         ("node", {"wikipedia": "en:Megapolis", "wikidata": "Q101"}, 40.0, -74.0,
-         "wikipedia wikidata mismatch"),
+         "wikipedia wikidata mismatch",
+         {"pre": {"wikidata": "Q101", "wikipedia": "en:Megapolis"}}),
         ("node", {"wikipedia": "en:Megapolis", "wikidata": "Q99100"}, 40.0, -74.0,
-         "wikipedia wikidata mismatch - follow wikidata redirect"),
+         "wikipedia wikidata mismatch - follow wikidata redirect",
+         {"pre": {"wikidata": "Q99100", "wikipedia": "en:Megapolis"}}),
         ("node", {"wikipedia": "en:Megapolis City", "wikidata": "Q100"}, 40.0, -74.0,
-         "wikipedia wikidata mismatch - follow wikipedia redirect"),
+         "wikipedia wikidata mismatch - follow wikipedia redirect",
+         {"pre": {"wikidata": "Q100", "wikipedia": "en:Megapolis City"},
+          "prop": [{"from": {"wikipedia": "en:Megapolis City"}, "to": {"wikipedia": "en:Megapolis"}}]}),
         ("node", {"wikipedia": "en:Megapolis (disambiguation)", "wikidata": "Q100"}, 40.0, -74.0,
-         "wikipedia wikidata mismatch - wikipedia points to disambiguation page and wikidata does not"),
-        ("node", {"wikidata": "Q999001"}, 40.0, -74.0, "link to a disambiguation page"),
-        ("node", {"wikidata": "Q999002"}, 40.0, -74.0, "link to a list"),
-        ("node", {"wikidata": "Q7501155"}, 40.0, -74.0, "no longer existing object (according to Wikidata)"),
+         "wikipedia wikidata mismatch - wikipedia points to disambiguation page and wikidata does not",
+         {"pre": {"wikidata": "Q100", "wikipedia": "en:Megapolis (disambiguation)"},
+          "prop": [{"from": {"wikipedia": "en:Megapolis (disambiguation)"}, "to": {"wikipedia": "en:Megapolis"}}]}),
+        ("node", {"wikidata": "Q999001"}, 40.0, -74.0, "link to a disambiguation page",
+         {"pre": {"wikidata": "Q999001"}}),
+        ("node", {"wikidata": "Q999002"}, 40.0, -74.0, "link to a list",
+         {"pre": {"wikidata": "Q999002"}}),
+        ("node", {"wikidata": "Q7501155"}, 40.0, -74.0, "no longer existing object (according to Wikidata)",
+         {"pre": {"wikidata": "Q7501155"}}),
+        # [sic] key 'wikidata' for the brand:wikidata value (:792)
         ("node", {"brand:wikidata": "Q7501155;Q6746", "shop": "supermarket"}, 40.0, -74.0,
-         "no longer existing brand (according to Wikidata) - and marked as active shop in OSM"),
-        ("node", {"brand:wikidata": "Q7501155", "disused:shop": "yes"}, 40.0, -74.0, None),
+         "no longer existing brand (according to Wikidata) - and marked as active shop in OSM",
+         {"pre": {"wikidata": "Q7501155;Q6746"}}),
+        ("node", {"brand:wikidata": "Q7501155", "disused:shop": "yes"}, 40.0, -74.0, None, None),
         ("node", {"wikidata": "Q777001", "teryt:simc": "0000000"}, 52.0, 19.0,
-         "mismatching teryt:simc codes in wikidata and in osm element"),
+         "mismatching teryt:simc codes in wikidata and in osm element",
+         {"pre": {"wikidata": "Q777001", "teryt:simc": "0000000"}}),
         ("node", {"wikidata": "Q777001", "teryt:simc": "0912345", "wikipedia": "en:Megapolis"}, 52.0, 19.0,
-         "wikipedia needs to be updated based on wikidata code and teryt:simc identifier"),
+         "wikipedia needs to be updated based on wikidata code and teryt:simc identifier",
+         {"pre": {"wikidata": "Q777001", "teryt:simc": "0912345", "wikipedia": "en:Megapolis"}}),
         ("node", {"wikidata": "Q777002", "teryt:simc": "0912399", "wikipedia": "en:Megapolis"}, 52.1, 19.1,
-         "wikipedia tag needs to be removed based on wikidata code and teryt:simc identifier"),
+         "wikipedia tag needs to be removed based on wikidata code and teryt:simc identifier",
+         {"pre": {"wikidata": "Q777002", "teryt:simc": "0912399", "wikipedia": "en:Megapolis"}}),
         ("node", {"wikidata": "Q888001"}, 40.0, -74.0,
-         "should use a secondary wikipedia tag - linking from wikidata tag to a company that has multiple locations"),
-        ("node", {"wikidata": "Q888002"}, 40.0, -74.0, None),  # P2046 area -> skip HQ check
+         "should use a secondary wikipedia tag - linking from wikidata tag to a company that has multiple locations",
+         {"pre": {"wikidata": "Q888001"}}),
+        ("node", {"wikidata": "Q888002"}, 40.0, -74.0, None, None),  # P2046 area -> skip HQ check
         ("node", {"wikidata": "Q889001"}, 40.0, -74.0,
-         "should use a secondary wikipedia tag - linking from wikidata tag to a spacecraft"),
+         "should use a secondary wikipedia tag - linking from wikidata tag to a spacecraft",
+         {"pre": {"wikidata": "Q889001"}}),
         ("node", {"wikidata": "Q889002"}, 40.0, -74.0,
-         "should use a secondary wikipedia tag - linking from wikidata tag to an uncoordinable generic object"),
-        ("node", {"wikipedia": "de:Altstadt"}, 52.5, 13.4, "wikidata from wikipedia tag"),
-        ("node", {"wikidata": "Q104"}, -33.9, 151.2, "wikipedia from wikidata tag, unexpected language"),
+         "should use a secondary wikipedia tag - linking from wikidata tag to an uncoordinable generic object",
+         {"pre": {"wikidata": "Q889002"}}),
+        ("node", {"wikipedia": "de:Altstadt"}, 52.5, 13.4, "wikidata from wikipedia tag",
+         {"pre": {"wikipedia": "de:Altstadt", "wikidata": None}}),
+        ("node", {"wikidata": "Q104"}, -33.9, 151.2, "wikipedia from wikidata tag, unexpected language",
+         {"pre": {"wikipedia": None, "wikidata": "Q104"},
+          "prop": [{"from": {"wikipedia": None}, "to": {"wikipedia": "en:Hilltop"}}]}),
+        # effective wikipedia (:410-414) is null here: no wikipedia tag, no sitelink
         ("node", {"wikidata": BLACKLISTED_FIXTURE_QID}, 40.0, -74.0,
-         "blacklisted connection with known replacement"),
+         "blacklisted connection with known replacement",
+         {"pre": {"wikipedia": None, "wikidata": BLACKLISTED_FIXTURE_QID}}),
         ("node", {"wikipedia": "de:Altstadt", "wikidata": "Q101", "wikipedia:de": "Altstadt"}, 52.5, 13.4,
-         "wikipedia tag in an outdated form for removal"),
+         "wikipedia tag in an outdated form for removal",
+         {"pre": {"wikidata": "Q101", "wikipedia": "de:Altstadt", "wikipedia:de": "Altstadt"},
+          "prop": [{"from": {"wikipedia:de": "Altstadt"}, "to": {}}]}),
         ("node", {"wikipedia:de": "Altstadt"}, 52.5, 13.4,
-         "wikipedia tag from wikipedia tag in an outdated form"),
+         "wikipedia tag from wikipedia tag in an outdated form",
+         {"pre": {"wikidata": None, "wikipedia": None, "wikipedia:de": "Altstadt"},
+          "prop": [{"from": {"wikipedia": None}, "to": {"wikipedia": "de:Altstadt"}}]}),
         ("node", {"wikipedia": "de:Altstadt", "wikidata": "Q100", "wikipedia:de": "Altstadt"}, 52.5, 13.4,
-         "wikipedia tag in outdated form and there is mismatch between links"),
-        ("relation", {"type": "person", "wikidata": "Saturn"}, 40.0, -74.0, "FILTERED"),
-        ("node", {"name:etymology:wikidata:missing": "yes"}, 40.0, -74.0, "name:etymology:wikidata:missing"),
-        ("node", {"wikipedia": "dk:Something"}, 40.0, -74.0, "wikipedia tag using redirecting language code"),
-        ("node", {"wikipedia": "xx:Something"}, 40.0, -74.0, "malformed wikipedia tag - nonexisting language code"),
-        ("node", {"wikidata": "Q999003"}, 40.0, -74.0, None),  # ambiguous item -> skipped
+         "wikipedia tag in outdated form and there is mismatch between links",
+         {"pre": {"wikidata": "Q100", "wikipedia": "de:Altstadt", "wikipedia:de": "Altstadt"}}),
+        ("relation", {"type": "person", "wikidata": "Saturn"}, 40.0, -74.0, "FILTERED", None),
+        ("node", {"name:etymology:wikidata:missing": "yes"}, 40.0, -74.0, "name:etymology:wikidata:missing",
+         {"pre": {"name:etymology:wikidata:missing": "yes"}}),
+        ("node", {"wikipedia": "dk:Something"}, 40.0, -74.0, "wikipedia tag using redirecting language code",
+         {"pre": {"wikipedia": "dk:Something"}}),
+        ("node", {"wikipedia": "xx:Something"}, 40.0, -74.0, "malformed wikipedia tag - nonexisting language code",
+         {"pre": {"wikipedia": "xx:Something"}}),
+        ("node", {"wikidata": "Q999003"}, 40.0, -74.0, None, None),  # ambiguous item -> skipped
         # taxon family (test_wikimedia_link_issue_reporter.py:568-582)
-        ("node", {"species:wikidata": "Q156895"}, 40.0, -74.0, None),
+        ("node", {"species:wikidata": "Q156895"}, 40.0, -74.0, None, None),
         ("node", {"species:wikidata": "Q42292"}, 40.0, -74.0,
-         "species secondary tag links something that is not species according to wikidata (checking P105)"),
+         "species secondary tag links something that is not species according to wikidata (checking P105)",
+         {"pre": {"species:wikidata": "Q42292", "species:wikipedia": None}}),
         ("node", {"species:wikidata": "Q100"}, 40.0, -74.0,
-         "species secondary tag links something that is not species according to wikidata (checking P105)"),
-        ("node", {"genus:wikidata": "Q42292"}, 40.0, -74.0, None),
+         "species secondary tag links something that is not species according to wikidata (checking P105)",
+         {"pre": {"species:wikidata": "Q100", "species:wikipedia": None}}),
+        ("node", {"genus:wikidata": "Q42292"}, 40.0, -74.0, None, None),
         ("node", {"genus:wikidata": "Q156895"}, 40.0, -74.0,
-         "genus secondary tag links something that is not genus according to wikidata (checking P105)"),
-        ("node", {"taxon:wikidata": "Q777100"}, 40.0, -74.0, None),
+         "genus secondary tag links something that is not genus according to wikidata (checking P105)",
+         {"pre": {"genus:wikidata": "Q156895", "genus:wikipedia": None}}),
+        ("node", {"taxon:wikidata": "Q777100"}, 40.0, -74.0, None, None),
         ("node", {"taxon:wikidata": "Q100"}, 40.0, -74.0,
-         "taxon secondary tag links something that is not taxon according to wikidata (checking regular ontology)"),
+         "taxon secondary tag links something that is not taxon according to wikidata (checking regular ontology)",
+         {"pre": {"taxon:wikidata": "Q100", "taxon:wikipedia": None}}),
         # bot-wikipedia check with no expected language (:1224-1232)
         ("node", {"wikipedia": "ceb:Cebuano Place", "wikidata": "Q555003"}, 10.0, 123.0,
-         "wikipedia tag links bot wikipedia"),
+         "wikipedia tag links bot wikipedia",
+         {"pre": {"wikipedia": "ceb:Cebuano Place", "wikidata": "Q555003"}}),
         # prefixed collision (test_wikimedia_link_issue_reporter.py:451-461)
         ("node", {"brand:wikidata": "Q177054", "brand:wikipedia": "en:Megapolis"}, 40.0, -74.0,
-         "wikipedia wikidata mismatch - for brand prefixed tags"),
+         "wikipedia wikidata mismatch - for brand prefixed tags",
+         {"pre": {"brand:wikidata": "Q177054", "brand:wikipedia": "en:Megapolis"}}),
         # malformed secondary variant for a non-':wikipedia'-suffixed key (:634-639)
         ("node", {"mywikipedia": "garbage?"}, 40.0, -74.0,
-         "malformed secondary wikipedia tag for mywikipedia tag"),
+         "malformed secondary wikipedia tag for mywikipedia tag",
+         {"pre": {"mywikipedia": "garbage?"}}),
         # redirect page with its own wikidata item -> clean (:403-412 analogue)
-        ("node", {"wikipedia": "it:Savazza2", "wikidata": "Q555010"}, 41.9, 12.5, None),
+        ("node", {"wikipedia": "it:Savazza2", "wikidata": "Q555010"}, 41.9, 12.5, None, None),
+        # wikipedia 404 with full report payload (:701-716)
+        ("node", {"wikipedia": "en:No Such Article"}, 40.0, -74.0, "wikipedia tag links to 404",
+         {"pre": {"wikipedia": "en:No Such Article"},
+          "prop": [{"from": {"wikipedia": "en:No Such Article"}, "to": {"wikipedia": None}}]}),
     ]
+
+
+def generate_test_elements() -> pd.DataFrame:
+    """Golden element/tag cases (FIXTURES.md §5) with expected error_id."""
     return pd.DataFrame(
         [
             {"element_id": i, "object_type": ot, "tags": tags, "lat": la, "lon": lo,
              "expected_error_id": exp}
-            for i, (ot, tags, la, lo, exp) in enumerate(cases)
+            for i, (ot, tags, la, lo, exp, _pay) in enumerate(_golden_cases())
         ]
     )
+
+
+def ser_map(d: dict | None) -> str | None:
+    """Canonical serialization of a string map for oracle comparison:
+    sorted 'k=v' joined by '|', None value -> '∅'. None map -> None."""
+    if d is None:
+        return None
+    return "|".join(f"{k}={'∅' if d[k] is None else d[k]}" for k in sorted(d))
+
+
+def ser_changes(chs: list | None) -> str | None:
+    if chs is None:
+        return None
+    return ";;".join(
+        "from{" + ser_map(c["from"]) + "}to{" + ser_map(c["to"]) + "}" for c in chs
+    )
+
+
+def golden_payload_expectations() -> pd.DataFrame:
+    """element_id -> expected prerequisite / proposed_tagging_changes (both
+    canonically serialized) for every reportable golden case."""
+    rows = []
+    for i, (ot, tags, la, lo, exp, pay) in enumerate(_golden_cases()):
+        if exp in (None, "FILTERED"):
+            continue
+        rows.append({
+            "element_id": i,
+            "expected_error_id": exp,
+            "tags": tags,
+            "expected_prerequisite": ser_map((pay or {}).get("pre")),
+            "expected_proposed": ser_changes((pay or {}).get("prop")),
+            "expected_proposed_raw": (pay or {}).get("prop"),
+        })
+    return pd.DataFrame(rows)
 
 
 # ------------------------------------------------------------- parquet cache
