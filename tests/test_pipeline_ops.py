@@ -94,7 +94,8 @@ def test_simhash_near_pairs(spark, documents):
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash64(df).collect()}
-    assert bin(sh[0] ^ sh[1]).count("1") < bin(sh[0] ^ sh[2]).count("1")
+    mask = (1 << 64) - 1  # simhash is signed int64; popcount needs the unsigned view
+    assert bin((sh[0] ^ sh[1]) & mask).count("1") < bin((sh[0] ^ sh[2]) & mask).count("1")
     pairs = {(r["doc_a"], r["doc_b"]) for r in dedup.simhash_near_pairs(df, max_hamming=16).collect()}
     assert (0, 1) in pairs and (0, 2) not in pairs
 
@@ -162,3 +163,27 @@ def test_cell_mosaics(spark, tmp_path):
     a = m.sort_values("cell")["mosaic"].apply(bytes).tolist()
     b = m2.sort_values("cell")["mosaic"].apply(bytes).tolist()
     assert a == b
+
+
+def test_simhash_banding_complete_recall(spark):
+    """Pigeonhole guarantee: simhash_near_pairs at max_hamming=8 returns
+    EXACTLY the pairs with popcount(xor) <= 8 — no silently dropped pairs
+    with differing bits spread across chunks (round-1 verdict finding #1)."""
+    rows = [
+        (i, f"tok{i % 7} tok{(i * 3) % 11} tok{(i * 5) % 13} alpha beta gamma w{i % 4}")
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash64(df).collect()}
+    mask = (1 << 64) - 1
+    exact = {
+        (a, b)
+        for a in sh for b in sh
+        if a < b and bin((sh[a] ^ sh[b]) & mask).count("1") <= 8
+    }
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.simhash_near_pairs(df, max_hamming=8).collect()
+    }
+    assert exact, "fixture produced no close pairs - test would be vacuous"
+    assert got == exact, f"missing={exact - got} extra={got - exact}"

@@ -10,15 +10,14 @@ Scale design:
     per-permutation affine min) -> band buckets -> equi-join within buckets
     -> exact-Jaccard verification. Only the banding join shuffles; candidate
     count is tunable via (n_perms, n_bands).
-  - SimHash: Arrow-batched NumPy; 16-bit chunk banding for Hamming<=k pairs.
+  - SimHash: all-native bit-fold kernel; pigeonhole banding into
+    max_hamming+1 chunks guarantees every Hamming<=max_hamming pair meets in
+    at least one bucket (full recall at the requested radius).
 """
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
 import numpy as np
-import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -223,42 +222,84 @@ def embedding_near_dup_pairs(
 
 # ---------------------------------------------------------------- simhash
 
+def simhash64_col(text: Column) -> Column:
+    """64-bit SimHash over distinct whitespace tokens — pure native
+    expressions (no Python in the plan): token -> xxhash64 bit vector,
+    per-bit +1/-1 fold over the token array, sign bits OR-assembled.
+
+    All-JVM replacement for the former per-token Python md5 kernel (the
+    slowest dedup op in BENCH_r01); the bit-hash function is xxhash64 rather
+    than md5 — simhash is hash-function agnostic, determinism is preserved."""
+    hashes = F.transform(
+        F.array_distinct(F.split(F.lower(F.trim(text)), "\\s+", -1)),
+        lambda t: F.xxhash64(t),
+    )
+    # acc[k] = sum over tokens of (+1 if bit k set else -1). Shift amounts
+    # must be Python ints (shiftrightunsigned rejects Column counts), so the
+    # 64-bit vector is an unrolled literal array; h is a leaf reference, so
+    # repeating it 64x does not duplicate any subtree.
+    acc = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda a, h: F.zip_with(
+            a,
+            F.array(*[
+                F.when(F.shiftrightunsigned(h, k).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+                .otherwise(F.lit(-1)).cast("long")
+                for k in range(64)
+            ]),
+            lambda x, y: x + y,
+        ),
+    )
+    # assemble sign bits with bitwise OR; bit 63's weight is the int64 sign
+    # bit, representable only as the negative literal -(2^63)
+    pows = [1 << k for k in range(63)] + [-(2 ** 63)]
+    return F.aggregate(
+        F.zip_with(
+            acc,
+            F.lit(pows).cast("array<long>"),
+            lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a.bitwiseOR(x),
+    )
+
+
 def simhash64(documents: DataFrame, text_col: str = "text") -> DataFrame:
-    """64-bit SimHash over whitespace tokens, Arrow-batched NumPy kernel
-    (per-token md5-derived bit vectors, sign of weighted bit sums)."""
+    """(doc_id, simhash) via the native kernel, staged through select so the
+    token-hash subtree appears once in the plan."""
+    return documents.select("doc_id", simhash64_col(F.col(text_col)).alias("simhash"))
 
-    def batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import hashlib
 
-        for b in batches:
-            out = np.zeros(len(b), dtype=np.int64)
-            for i, text in enumerate(b[text_col]):
-                toks = str(text).lower().split()
-                if not toks:
-                    continue
-                acc = np.zeros(64, dtype=np.int64)
-                for t in set(toks):
-                    h = np.uint64(int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little"))
-                    bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-                    acc += np.where(bits == np.uint64(1), 1, -1)
-                val = int((acc > 0).astype(np.uint64) @ (np.uint64(1) << np.arange(64, dtype=np.uint64)))
-                out[i] = val - (1 << 64) if val >= (1 << 63) else val
-            yield pd.DataFrame({"doc_id": b["doc_id"], "simhash": out})
-
-    return documents.select("doc_id", text_col).mapInPandas(batch, "doc_id long, simhash long")
+def _chunk_bounds(n_chunks: int) -> list[tuple[int, int]]:
+    """Split 64 bits into n_chunks contiguous (start, width) chunks."""
+    base, rem = divmod(64, n_chunks)
+    bounds, s = [], 0
+    for i in range(n_chunks):
+        w = base + (1 if i < rem else 0)
+        bounds.append((s, w))
+        s += w
+    return bounds
 
 
 def simhash_near_pairs(documents: DataFrame, max_hamming: int = 3, text_col: str = "text") -> DataFrame:
-    """Candidate pairs by 16-bit chunk banding (any identical chunk => at
-    most 48 differing bits concentrated in 3 chunks — standard pigeonhole:
-    hamming<=3 guarantees >=1 of 4 chunks equal), verified by exact
-    popcount. Returns (doc_a, doc_b, hamming)."""
+    """ALL pairs with hamming <= max_hamming, by pigeonhole banding into
+    max_hamming+1 bit chunks (if at most max_hamming bits differ, at least
+    one of max_hamming+1 chunks is identical -> the pair meets in a bucket),
+    verified by exact popcount. Returns (doc_a, doc_b, hamming).
+
+    Scale shape: the join is an equi-join on (chunk_id, chunk) buckets —
+    never all-pairs; candidate volume is governed by chunk width
+    (64/(max_hamming+1) bits)."""
+    n_chunks = max_hamming + 1
     sh = simhash64(documents, text_col)
+    chunk_exprs = [
+        F.shiftrightunsigned("simhash", s).bitwiseAND(F.lit((1 << w) - 1))
+        for s, w in _chunk_bounds(n_chunks)
+    ]
     chunks = sh.select(
         "doc_id", "simhash",
-        F.posexplode(
-            F.array(*[F.shiftrightunsigned("simhash", k * 16).bitwiseAND(F.lit(0xFFFF)) for k in range(4)])
-        ).alias("chunk_id", "chunk"),
+        F.posexplode(F.array(*chunk_exprs)).alias("chunk_id", "chunk"),
     )
     a = chunks.alias("a")
     b = chunks.alias("b")
