@@ -484,6 +484,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("element_id")
     q["q_report_roundtrip"] = q_report_roundtrip
 
+    # ---- the 875-QID ontology classification corpus (reference
+    # test_wikidata_structure.py cardinality): every unlinkable case must
+    # produce exactly the reference's error_id, every linkable case none
+    def q_classification_golden(spark, sf):
+        from wikibrain_spark.operators import linkres
+        from wikibrain_spark.sources import synthetic
+
+        c = synthetic.generate_classification_corpus()
+        dims = linkres.WikiDims(
+            wikidata=spark.createDataFrame(
+                c["entities"],
+                "qid string, label_en string, sitelinks map<string,string>, lat double, lon double",
+            ),
+            claims=spark.createDataFrame(
+                [], "qid string, pid string, value_str string, value_qid string, "
+                    "value_lat double, value_lon double, qualifier_pids array<string>"
+            ),
+            pages=spark.createDataFrame([], "lang string, title string, qid string"),
+            page_redirects=spark.createDataFrame([], "lang string, from_title string, to_title string"),
+            qid_redirects=spark.createDataFrame([], "from_qid string, to_qid string"),
+            edges=spark.createDataFrame(c["edges"], "child_qid string, parent_qid string, pid string"),
+        )
+        elements = spark.createDataFrame(
+            c["elements"],
+            "element_id long, object_type string, tags map<string,string>, "
+            "lat double, lon double, expected_error_id string",
+        )
+        return linkres.resolve(elements.drop("expected_error_id"), dims).select(
+            "element_id", "error_id"
+        ).orderBy("element_id")
+    q["q_classification_golden"] = q_classification_golden
+
     def q_linkres_golden(spark, sf):
         from wikibrain_spark.operators import linkres
         from wikibrain_spark.sources import synthetic
@@ -573,6 +605,21 @@ def _report_roundtrip_oracle() -> str:
     return (
         "SELECT * FROM (VALUES " + ", ".join(rows)
         + ") AS t(element_id, prereq_ok, new_tags_ser) ORDER BY element_id"
+    )
+
+
+def _classification_golden_oracle() -> str:
+    """The 875-case corpus's expected error_ids — the ground truth is the
+    reference's own assert_linkability/assert_unlinkability expectations."""
+    from wikibrain_spark.sources import synthetic
+
+    rows = []
+    for _, r in synthetic.generate_classification_corpus()["elements"].iterrows():
+        if r["expected_error_id"] is not None:
+            rows.append(f"({int(r['element_id'])}, {_sql_str(r['expected_error_id'])})")
+    return (
+        "SELECT * FROM (VALUES " + ", ".join(rows)
+        + ") AS t(element_id, error_id) ORDER BY element_id"
     )
 
 
@@ -878,6 +925,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY id_a, id_b
         """,
         "q_linkres_golden": _linkres_golden_oracle(),
+        "q_classification_golden": _classification_golden_oracle(),
         "q_report_payload": _report_payload_oracle(),
         "q_report_roundtrip": _report_roundtrip_oracle(),
         # q_dedup_minhash, q_dedup_simhash, q_ann_lsh: approximate operators

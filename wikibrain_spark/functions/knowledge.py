@@ -49,6 +49,15 @@ def invalid_types_df(spark: SparkSession) -> DataFrame:
     )
 
 
+def invalid_types_rows() -> list[tuple[str, str, str | None, bool]]:
+    """(type_qid, what, replacement, is_broad) rows as plain Python — used by
+    the classification-corpus generator (sources/synthetic.py)."""
+    return [
+        (qid, v["what"], v.get("replacement"), bool(v.get("extremely_broad_and_unspecific", False)))
+        for qid, v in sorted(_tables()["invalid_primary_link_types"].items())
+    ]
+
+
 def official_language_countries(lang: str | None) -> list[str]:
     """Country QIDs where `lang` is official (public Wikidata CSV-derived,
     same facts as wikimedia_link_issue_reporter.py:1978-2653)."""

@@ -308,6 +308,17 @@ def _tag(key: str) -> Column:
     return F.element_at("tags", key)
 
 
+def reducible_to_point() -> Column:
+    """element_can_be_reduced_to_position_at_single_location (:2703-2710,
+    SURVEY.md P2): route/person relations and rivers span areas, so
+    location-dependent checks (headquarters distance J13, disambig distance
+    ranking J14) must not treat their anchor coordinate as THE location."""
+    return ~(
+        ((F.col("object_type") == "relation") & F.coalesce(_tag("type").isin("person", "route"), F.lit(False)))
+        | _tag("waterway").eqNullSafe("river")
+    )
+
+
 def _should_be_deleted() -> Column:
     """object_should_be_deleted_not_repaired (:2712-2722) — filter, no report."""
     return (
@@ -1079,9 +1090,12 @@ def resolve(elements: DataFrame, dims: WikiDims, cfg: ResolveConfig | None = Non
              prerequisite=pre_eff_wd),
     )
 
-    # headquarters distance (:1880-1895): any P159 location > 20 km away
+    # headquarters distance (:1880-1895): any P159 location > 20 km away.
+    # Gated on reducible_to_point (P2): a route relation or river has no
+    # single location, so its anchor coordinate must not drive the check
     hq_far = F.when(
-        F.col("lat").isNotNull() & F.col("eff_hq_lats").isNotNull() & ~F.col("eff_has_area"),
+        reducible_to_point()
+        & F.col("lat").isNotNull() & F.col("eff_hq_lats").isNotNull() & ~F.col("eff_has_area"),
         F.exists(
             F.zip_with("eff_hq_lats", "eff_hq_lons", lambda a, b: F.struct(a.alias("la"), b.alias("lo"))),
             lambda s: haversine_km_col(F.col("lat"), F.col("lon"), s["la"], s["lo"]) > 20,

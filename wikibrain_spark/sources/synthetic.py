@@ -476,6 +476,13 @@ def _golden_cases() -> list[tuple]:
         ("node", {"wikipedia": "en:No Such Article"}, 40.0, -74.0, "wikipedia tag links to 404",
          {"pre": {"wikipedia": "en:No Such Article"},
           "prop": [{"from": {"wikipedia": "en:No Such Article"}, "to": {"wikipedia": None}}]}),
+        # P2 reducible-to-point (:2703-2710): a route relation / river has no
+        # single location -> the HQ-distance check must not fire; a way does
+        ("relation", {"type": "route", "wikidata": "Q888001"}, 40.0, -74.0, None, None),
+        ("way", {"waterway": "river", "wikidata": "Q888001"}, 40.0, -74.0, None, None),
+        ("way", {"building": "yes", "wikidata": "Q888001"}, 40.0, -74.0,
+         "should use a secondary wikipedia tag - linking from wikidata tag to a company that has multiple locations",
+         {"pre": {"wikidata": "Q888001"}}),
     ]
 
 
@@ -522,6 +529,99 @@ def golden_payload_expectations() -> pd.DataFrame:
             "expected_proposed_raw": (pay or {}).get("prop"),
         })
     return pd.DataFrame(rows)
+
+
+# ------------------------------------------ classification corpus (875 QIDs)
+
+def generate_classification_corpus() -> dict[str, pd.DataFrame]:
+    """Ontology-classification corpus at the reference test's cardinality.
+
+    The QID list and linkable/unlinkable expectations come from the
+    reference's own 833-test suite (test_wikidata_structure.py,
+    assert_linkability / assert_unlinkability sites; extracted to
+    classification_cases.json). The real suite consults live Wikidata; this
+    sandbox has no network, so for each case we synthesize an ontology
+    CONSISTENT with the expectation while exercising the classifier
+    machinery the suite exists to protect:
+
+      unlinkable case i (94 cases), depth pattern i % 4:
+        0: qid -P31-> invalid_type
+        1: qid -P31-> mid -P279-> invalid_type          (closure via root)
+        2: qid -P279-> invalid_type                     (self P279-closure)
+        3: qid -P31-> mid1 -P279-> mid2 -P279-> invalid_type (depth 3)
+      linkable case j (781 cases), shape j % 4:
+        0: no ontology edges at all
+        1: qid -P31-> benign chain (2 hops)
+        2: qid -P31-> mid -P279-> IGNORED -P279-> invalid_type
+           (ignore list must prune traversal, :1437/:1447-1449)
+        3: qid -P31-> Q122754124 (ambiguous)  AND  qid -P31-> invalid_type
+           (ambiguity exemption beats the banned ancestor, :1503-1506)
+
+    Unlinkable cases rotate through the invalid_types table; linkable shape-2
+    cases rotate through ALL 175 invalid types (each must stay blocked) and
+    the full ignore list. QIDs colliding with the blacklist / skip / ignore /
+    invalid tables were excluded at extraction time.
+    """
+    import json as _json
+
+    from wikibrain_spark.functions import knowledge
+
+    with open(os.path.join(os.path.dirname(__file__), "classification_cases.json")) as fh:
+        cases = _json.load(fh)
+    ignored = knowledge.ontology_ignore_list()
+    # an invalid type that is ALSO ignored (Q35127) can never classify an
+    # entity — traversal prunes it (reference :1437) — so it cannot carry an
+    # unlinkable expectation
+    inv = [r for r in knowledge.invalid_types_rows() if r[0] not in set(ignored)]
+
+    entities, edges, elements = [], [], []
+    ui = li = 0
+    for case in cases:
+        qid, expect = case["qid"], case["expect"]
+        entities.append({"qid": qid, "label_en": f"case {qid}", "sitelinks": {},
+                         "lat": None, "lon": None})
+        if expect == "unlinkable":
+            inv_qid, what, _repl, _broad = inv[ui % len(inv)]
+            d = ui % 4
+            if d == 0:
+                edges.append((qid, inv_qid, "P31"))
+            elif d == 1:
+                mid = f"QSYN{ui}A"
+                edges += [(qid, mid, "P31"), (mid, inv_qid, "P279")]
+            elif d == 2:
+                edges.append((qid, inv_qid, "P279"))
+            else:
+                m1, m2 = f"QSYN{ui}B", f"QSYN{ui}C"
+                edges += [(qid, m1, "P31"), (m1, m2, "P279"), (m2, inv_qid, "P279")]
+            expected = ("should use a secondary wikipedia tag - linking from "
+                        f"wikidata tag to {what}")
+            ui += 1
+        else:
+            s = li % 4
+            if s == 1:
+                edges += [(qid, "QBENIGN0", "P31")]
+            elif s == 2:
+                mid = f"QLNK{li}"
+                ign = ignored[li % len(ignored)]
+                inv_qid = inv[li % len(inv)][0]
+                edges += [(qid, mid, "P31"), (mid, ign, "P279"), (ign, inv_qid, "P279")]
+            elif s == 3:
+                inv_qid = inv[li % len(inv)][0]
+                edges += [(qid, "Q122754124", "P31"), (qid, inv_qid, "P31")]
+            expected = None
+            li += 1
+        elements.append({"qid": qid, "expected_error_id": expected})
+
+    edges += [("QBENIGN0", "QBENIGN1", "P279"), ("QBENIGN1", "QBENIGN2", "P279")]
+    return {
+        "entities": pd.DataFrame(entities),
+        "edges": pd.DataFrame(edges, columns=["child_qid", "parent_qid", "pid"]),
+        "elements": pd.DataFrame(
+            [{"element_id": i, "object_type": "node", "tags": {"wikidata": r["qid"]},
+              "lat": 40.0, "lon": -74.0, "expected_error_id": r["expected_error_id"]}
+             for i, r in enumerate(elements)]
+        ),
+    }
 
 
 # ------------------------------------------------------------- parquet cache
