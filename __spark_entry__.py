@@ -220,6 +220,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("n_nationkey")
     q["q_link_parsing"] = q_link_parsing
 
+    # ---- P17 geotagged-page HTML sniff (is_wikipedia_page_geotagged,
+    # wikimedia_link_issue_reporter.py:2730-2740) over deterministic pages
+    def q_geotag_sniff(spark, sf):
+        p = _t(spark, sf, "part")
+        lat_span = '<span class="latitude">'
+        inline = "coordinates inline plainlinks"
+        kml = ('><span id="coordinates"><b>Route map</b>: '
+               '<a rel="nofollow" class="external text"')
+        page = (
+            F.when(F.col("p_partkey") % 5 == 0, F.lit("x " + lat_span + "50</span>"))
+            .when(F.col("p_partkey") % 5 == 1, F.lit(inline + " " + lat_span))  # inline only
+            .when(F.col("p_partkey") % 5 == 2, F.lit(lat_span + " " + inline))  # span first
+            .when(F.col("p_partkey") % 5 == 3, F.lit("no coords"))
+            .otherwise(F.lit("area " + kml))
+        )
+        d = p.select("p_partkey", page.alias("page"))
+        return d.select(
+            "p_partkey",
+            wikitext.is_wikipedia_page_geotagged(F.col("page")).alias("geotagged"),
+        ).orderBy("p_partkey")
+    q["q_geotag_sniff"] = q_geotag_sniff
+
     # ---- geodesic distance + human formatting (F4/F8/J12)
     def q_distances(spark, sf):
         e = _event_points(spark, sf)
@@ -448,6 +470,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             edges=spark.createDataFrame(
                 d["ontology_edges"], "child_qid string, parent_qid string, pid string"
             ),
+            disambig_links=spark.createDataFrame(
+                d["disambig_links"], "lang string, title string, out_title string, ns int"
+            ),
         )
         elements = spark.createDataFrame(
             synthetic.generate_test_elements(),
@@ -538,6 +563,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             qid_redirects=spark.createDataFrame(d["wikidata_redirects"], "from_qid string, to_qid string"),
             edges=spark.createDataFrame(
                 d["ontology_edges"], "child_qid string, parent_qid string, pid string"
+            ),
+            disambig_links=spark.createDataFrame(
+                d["disambig_links"], "lang string, title string, out_title string, ns int"
             ),
         )
         elements = spark.createDataFrame(
@@ -849,6 +877,10 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type ORDER BY event_type
         """,
         "q_malformed_check": malformed_sql,
+        "q_geotag_sniff": """
+            SELECT p_partkey, (p_partkey % 5) IN (0, 2, 4) AS geotagged
+            FROM part ORDER BY p_partkey
+        """,
         "q_link_parsing": """
             WITH d AS (
               SELECT n_nationkey,

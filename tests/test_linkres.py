@@ -100,3 +100,63 @@ def test_facts_join_size_gate(spark, dims):
     want_df = linkres.resolve(elements.drop("expected_error_id"), dims)
     want = {(r["element_id"], r["error_id"]) for r in want_df.select("element_id", "error_id").collect()}
     assert got == want
+
+
+def test_disambig_fix_list_message(spark, dims):
+    """get_list_of_disambig_fixes (:1387-1410): the disambig error message
+    carries the outlink list with per-link distance descriptions."""
+    import dataclasses
+    import math
+
+    d = synthetic.generate_wikidata_dim()
+    dims2 = dataclasses.replace(
+        dims,
+        disambig_links=spark.createDataFrame(
+            d["disambig_links"], "lang string, title string, out_title string, ns int"
+        ),
+    )
+    elements = spark.createDataFrame(
+        [(0, "node", {"wikidata": "Q999001"}, 40.0, -74.0)],
+        "element_id long, object_type string, tags map<string,string>, lat double, lon double",
+    )
+    row = linkres.resolve(elements, dims2).collect()[0]
+    assert row["error_id"] == "link to a disambiguation page"
+
+    # independent haversine for Hilltop Q104 at (-33.9, 151.2) from (40, -74)
+    def hav(la1, lo1, la2, lo2):
+        p = math.pi / 180
+        a = (math.sin((la2 - la1) * p / 2) ** 2
+             + math.cos(la1 * p) * math.cos(la2 * p) * math.sin((lo2 - lo1) * p / 2) ** 2)
+        return 2 * 6371.0088 * math.asin(math.sqrt(a))
+
+    km = int(hav(40.0, -74.0, -33.9, 151.2))
+    expected = (
+        "link leads to a disambig page - not a proper wikipedia link (according to"
+        " Wikidata - if target is not a disambig check Wikidata entry whether it is"
+        " correct)\n\n"
+        "Brand Thing <no location data on wikidata>\n"
+        f"Hilltop is {km} km away\n"
+        "Megapolis is 0 m away\n"
+    )
+    assert row["error_message"] == expected
+
+
+def test_geotagged_page_sniff(spark):
+    """P17 is_wikipedia_page_geotagged (:2730-2740) truth table."""
+    from wikibrain_spark.functions import wikitext
+
+    kml = ('><span id="coordinates"><b>Route map</b>: '
+           '<a rel="nofollow" class="external text"')
+    cases = [
+        ('x <span class="latitude">50</span> y', True),           # real coords
+        ('coordinates inline plainlinks <span class="latitude">', False),  # inline only
+        (f'<span class="latitude"> then coordinates inline plainlinks', True),  # span BEFORE inline marker
+        ("no coords at all", False),
+        (f"area page {kml} tail", True),                          # KML route map
+        (f'coordinates inline plainlinks <span class="latitude"> {kml}', True),
+    ]
+    df = spark.createDataFrame([(i, h) for i, (h, _) in enumerate(cases)], "i long, page string")
+    got = {r["i"]: r["g"] for r in df.select(
+        "i", wikitext.is_wikipedia_page_geotagged(F.col("page")).alias("g")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, f"case {i}"

@@ -107,3 +107,23 @@ def is_valid_old_style_key(key: Column) -> Column:
     return F.array_contains(
         F.lit([f"wikipedia:{lang}" for lang in LANGUAGE_CODES_BY_IMPORTANCE]), key
     )
+
+
+# P17: geotagged-page HTML sniff (wikimedia_link_issue_reporter.py:2730-2740)
+
+_LAT_SPAN = '<span class="latitude">'
+_INLINE = "coordinates inline plainlinks"
+_KML = ('><span id="coordinates"><b>Route map</b>: '
+        '<a rel="nofollow" class="external text"')
+
+
+def is_wikipedia_page_geotagged(page: Column) -> Column:
+    """is_wikipedia_page_geotagged (:2730-2740, SURVEY.md P17): a page HTML
+    blob counts as geotagged iff it has a real latitude span (inline
+    coordinates don't count) or the KML route-map marker. Python str.find's
+    -1 convention is reproduced via locate()-1 so the comparison chain
+    (`index > inline != -1`) matches the reference exactly."""
+    idx = F.locate(_LAT_SPAN, page) - 1
+    inline = F.locate(_INLINE, page) - 1
+    idx = F.when((inline != -1) & (idx > inline), F.lit(-1)).otherwise(idx)
+    return F.when(idx == -1, (F.locate(_KML, page) - 1) != -1).otherwise(F.lit(True))

@@ -134,6 +134,10 @@ class WikiDims:
     page_redirects: DataFrame  # lang, from_title, to_title
     qid_redirects: DataFrame   # from_qid, to_qid
     edges: DataFrame           # child_qid, parent_qid, pid in {P31, P279}
+    # optional: (lang, title, out_title, ns) outlinks of disambig pages —
+    # feeds the distance-ranked fix list in the disambig error message
+    # (get_list_of_disambig_fixes, :1387-1410); None -> empty list
+    disambig_links: DataFrame | None = None
 
 
 @dataclass
@@ -873,6 +877,52 @@ def ser_changes_col(c: Column) -> Column:
     )
 
 
+def _disambig_fix_lists(cand: DataFrame, dims: WikiDims, facts: DataFrame, bcast: bool) -> DataFrame:
+    """get_list_of_disambig_fixes (:1387-1410) -> (element_id, disambig_list):
+    outlinks of the disambig page's best-interwiki article, each line
+    'title[ is N km away| <no location data on wikidata>]\\n'. Listed in
+    canonical title order (the reference uses API response order)."""
+    bi = facts.select(F.col("qid").alias("effective_wd"), "best_link")
+    c = cand.join(_maybe_broadcast(bi, bcast), "effective_wd", "left")
+    c = c.withColumn("d_lang", wikitext.lang_code_of(F.col("best_link"))).withColumn(
+        "d_title", wikitext.article_name_of(F.col("best_link"))
+    )
+    links = dims.disambig_links.where(F.col("ns") == 0).select(  # ns=0 only, :1358-1360
+        F.col("lang").alias("d_lang"), F.col("title").alias("d_title"), "out_title"
+    )
+    c = c.join(F.broadcast(links), ["d_lang", "d_title"], "left")
+    pages = dims.pages.select(
+        F.col("lang").alias("d_lang"), F.col("title").alias("out_title"), F.col("qid").alias("out_qid")
+    )
+    c = c.join(F.broadcast(pages), ["d_lang", "out_title"], "left")
+    locs = dims.wikidata.select(
+        F.col("qid").alias("out_qid"), F.col("lat").alias("o_lat"), F.col("lon").alias("o_lon")
+    )
+    c = c.join(F.broadcast(locs), "out_qid", "left")
+    dist = haversine_km_col(F.col("lat"), F.col("lon"), F.col("o_lat"), F.col("o_lon"))
+    # distance_in_km_to_string (:1362-1366) + description (:1378-1385)
+    desc = (
+        F.when(F.col("lat").isNull() | F.col("lon").isNull(), F.lit(" <no location data>"))
+        .when(F.col("out_qid").isNull() | F.col("o_lat").isNull(), F.lit(" <no location data on wikidata>"))
+        .otherwise(F.concat(
+            F.lit(" is "),
+            F.when(dist > 3, F.concat(F.floor(dist).cast("long").cast("string"), F.lit(" km")))
+            .otherwise(F.concat(F.floor(dist * 1000).cast("long").cast("string"), F.lit(" m"))),
+            F.lit(" away"),
+        ))
+    )
+    line = F.concat(F.col("out_title"), desc, F.lit("\n"))
+    return c.groupBy("element_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.when(F.col("out_title").isNotNull(),
+                                                   F.struct(F.col("out_title").alias("t"), line.alias("l"))))),
+                lambda s: s["l"],
+            ), "",
+        ).alias("disambig_list")
+    )
+
+
 def _replace_prereq_hack(err: Column) -> Column:
     """replace_prerequisites_to_match_actual_tags (:425-443, SURVEY.md P19):
     when the report's prerequisite names 'wikidata' but the element has no
@@ -1036,14 +1086,24 @@ def resolve(elements: DataFrame, dims: WikiDims, cfg: ResolveConfig | None = Non
     # wikidata-semantics block (:495-501 → get_problem_based_on_wikidata_base_types)
     tag_summary = _summary_of_tags(F.col("wikidata"), F.col("wikipedia"))
     pre_eff_wd = _m(("wikidata", F.col("effective_wd")))
+    # distance-annotated disambig outlink list (:1746-1747 via :1387-1410)
+    if dims.disambig_links is not None:
+        dlists = _disambig_fix_lists(
+            base.where(F.col("eff_is_disambig")).select("element_id", "lat", "lon", "effective_wd"),
+            dims, facts, bcast,
+        )
+        base = base.join(dlists, "element_id", "left")
+    else:
+        base = base.withColumn("disambig_list", F.lit(None).cast("string"))
     disambig_err = F.when(
         F.col("eff_is_disambig"),
         _err("link to a disambiguation page",  # :1749
-             # reference appends the distance-ranked disambig outlink list
-             # (:1746-1747); emitted by the disambig.py operator separately
-             F.lit("link leads to a disambig page - not a proper wikipedia link "
-                   "(according to Wikidata - if target is not a disambig check Wikidata "
-                   "entry whether it is correct)\n\n"),
+             F.concat(
+                 F.lit("link leads to a disambig page - not a proper wikipedia link "
+                       "(according to Wikidata - if target is not a disambig check Wikidata "
+                       "entry whether it is correct)\n\n"),  # :1747
+                 F.coalesce(F.col("disambig_list"), F.lit("")),
+             ),
              prerequisite=pre_eff_wd),  # :1751
     ).when(
         F.col("eff_is_list") & ~F.coalesce(F.col("wikipedia").contains("#"), F.lit(False)),  # :497-501 suppression
