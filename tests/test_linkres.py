@@ -76,6 +76,12 @@ def test_expected_language_issues(spark, dims):
         (1, {"wikipedia": "de:Grenzstadt", "wikidata": "Q555002"}, None),
         # matching language -> clean
         (2, {"wikipedia": "pl:Polska Rzecz", "wikidata": "Q555001"}, None),
+        # first foreign country is Q7318 (Nazi Germany) -> NOT allowed (:2676-2680)
+        (3, {"wikipedia": "de:Sache Vier", "wikidata": "Q555004"},
+         "wikipedia tag unexpected language"),
+        # no P17 at all -> NOT allowed (:2667-2669 returns None)
+        (4, {"wikipedia": "de:Sache Fuenf", "wikidata": "Q555005"},
+         "wikipedia tag unexpected language"),
     ]
     elements = spark.createDataFrame(
         [(i, "node", tags, 52.0, 20.0) for i, tags, _ in cases],

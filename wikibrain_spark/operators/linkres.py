@@ -222,11 +222,13 @@ def build_qid_facts(dims: WikiDims, cfg: ResolveConfig) -> DataFrame:
         c.where((F.col("pid") == "P105") & F.col("value_qid").isNotNull())
         .groupBy("qid").agg(F.collect_set("value_qid").alias("p105_qids"))  # :1795
     )
-    # P17 countries, excluding statements qualified by P582 (:2684-2701)
+    # P17 countries, excluding statements qualified by P582 (:2684-2701).
+    # Sorted for a deterministic "first foreign country" (the reference uses
+    # claim order, which is API-response order — canonicalized here)
     p17 = (
         c.where((F.col("pid") == "P17") & F.col("value_qid").isNotNull()
                 & ~F.array_contains(F.coalesce("qualifier_pids", F.array()), "P582"))
-        .groupBy("qid").agg(F.collect_set("value_qid").alias("countries"))
+        .groupBy("qid").agg(F.sort_array(F.collect_set("value_qid")).alias("countries"))
     )
     has_p17 = c.where(F.col("pid") == "P17").select("qid").distinct().withColumn("has_p17", F.lit(True))
 
@@ -1208,16 +1210,17 @@ def resolve(elements: DataFrame, dims: WikiDims, cfg: ResolveConfig | None = Non
         enforced = knowledge.official_language_countries(cfg.expected_language_code)
         recommended = F.col("eff_sitelink_expected")
         # why_object_is_allowed_to_have_foreign_language_label (:2657-2682):
-        # non-null reason iff no wikidata entry, no P17 data, or any current
-        # (non-P582) country outside the enforced set
-        any_foreign_country = F.exists(
-            F.coalesce("eff_countries", F.array()), lambda cq: ~cq.isin(enforced or ["__none__"])
+        # allowed iff no wikidata entry, OR the FIRST current (non-P582)
+        # country outside the enforced set exists and is not Q7318 (the
+        # reference's Nazi-Germany carve-out, :2676-2680). Missing or empty
+        # P17 -> NOT allowed (:2667-2669 returns None).
+        foreign = F.filter(
+            F.coalesce("eff_countries", F.array().cast("array<string>")),
+            lambda cq: ~cq.isin(enforced or ["__none__"]),
         )
         allowed_foreign = (
             F.col("effective_wd").isNull()
-            | ~F.col("eff_has_p17")
-            | (F.size(F.coalesce("eff_countries", F.array())) == 0)
-            | any_foreign_country
+            | ((F.size(foreign) > 0) & (F.element_at(foreign, 1) != "Q7318"))
         )
         good_link = F.concat(F.lit(cfg.expected_language_code), F.lit(":"), recommended)  # :1245
         lang_proposed = _chg(_m(("wikipedia", F.col("wikipedia"))), _m(("wikipedia", good_link)))

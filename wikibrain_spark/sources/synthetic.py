@@ -194,6 +194,8 @@ def generate_wikidata_dim() -> dict[str, pd.DataFrame]:
         ("Q555001", "Polska Rzecz", {"pl": "Polska Rzecz", "de": "Polnisches Ding"}, (52.0, 20.0)),
         ("Q555002", "Grenzstadt", {"pl": "Grenzstadt PL", "de": "Grenzstadt"}, (51.0, 15.0)),
         ("Q555003", "Cebuano Place", {"ceb": "Cebuano Place"}, (10.0, 123.0)),
+        ("Q555004", "Nazi-era Thing", {"pl": "Rzecz Cztery", "de": "Sache Vier"}, (51.0, 16.0)),
+        ("Q555005", "Countryless Thing", {"pl": "Rzecz Piec", "de": "Sache Fuenf"}, (51.5, 16.5)),
         ("Q555010", "Savazza-like redirect item", {"it": "Savazza2"}, None),
     ]
     wikidata = pd.DataFrame(
@@ -257,6 +259,8 @@ def generate_wikidata_dim() -> dict[str, pd.DataFrame]:
             _c("Q555002", "P17", vq="Q183"),                          # Germany
             _c("Q555002", "P17", vq="Q7318", quals=["P582"]),         # past country
             _c("Q555003", "P17", vq="Q928"),                          # Philippines
+            _c("Q555004", "P17", vq="Q7318"),                         # Nazi Germany (current!) -> NOT allowed-foreign
+            # Q555005: no P17 at all -> NOT allowed-foreign (:2667-2669)
         ]
     )
     redirects = pd.DataFrame([("Q99100", "Q100")], columns=["from_qid", "to_qid"])
@@ -281,6 +285,10 @@ def generate_wikidata_dim() -> dict[str, pd.DataFrame]:
             ("pl", "Grenzstadt PL", "Q555002"),
             ("de", "Grenzstadt", "Q555002"),
             ("ceb", "Cebuano Place", "Q555003"),
+            ("pl", "Rzecz Cztery", "Q555004"),
+            ("de", "Sache Vier", "Q555004"),
+            ("pl", "Rzecz Piec", "Q555005"),
+            ("de", "Sache Fuenf", "Q555005"),
             ("it", "Savazza2", "Q555010"),  # redirect page WITH its own item
             ("en", "Megapolis City", None),  # redirect page exists, no own item
         ],
