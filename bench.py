@@ -73,6 +73,13 @@ def main() -> None:
     timings["flagship_fused"] = round(time.time() - t0, 3)
     flagship_rows_per_sec = round(n_images / timings["flagship_fused"], 1)
 
+    # zero-Python flagship (the configuration that carries the scaling-gate
+    # evidence in BENCH/BASELINE.md — no Arrow channel anywhere in the plan)
+    t0 = time.time()
+    _materialize(spatial_join.tile_assignments(images, boundaries, res=9, strategy="native"))
+    timings["flagship_native"] = round(time.time() - t0, 3)
+    flagship_native_rows_per_sec = round(n_images / timings["flagship_native"], 1)
+
     t0 = time.time()
     _materialize(
         spatial_join.shuffle_pip_join(
@@ -104,6 +111,7 @@ def main() -> None:
         "sf": sf,
         "cpus": cpus,
         "flagship_rows_per_sec": flagship_rows_per_sec,
+        "flagship_native_rows_per_sec": flagship_native_rows_per_sec,
         "flagship_images": n_images,
     }))
     spark.stop()
