@@ -96,3 +96,32 @@ def test_native_pip_survives_large_polygon_set(spark):
         inside = pip_mod.points_in_ring(plat, plon, np.asarray(rlat), np.asarray(rlon))
         want |= {(i, bid) for i in np.nonzero(inside)[0]}
     assert got == want
+
+
+def test_native_pip_cell_prefilter_matches_default(spark):
+    """The cell-prefiltered native variant (scale configuration) must return
+    exactly the same pairs as the one-row-dim variant."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(11)
+    polys = []
+    for bid in range(40):
+        clat = float(rng.uniform(-60, 60)); clon = float(rng.uniform(-150, 150))
+        ang = np.linspace(0, 2 * np.pi, 12, endpoint=False)
+        r = 3.0 * (0.7 + 0.6 * rng.random(12))
+        polys.append((bid, (clat + r * np.sin(ang)).tolist(), (clon + r * np.cos(ang)).tolist()))
+    boundaries = spark.createDataFrame(
+        polys, "boundary_id long, ring_lat array<double>, ring_lon array<double>"
+    )
+    n_pts = 1500
+    points = spark.createDataFrame(pd.DataFrame({
+        "image_id": [str(i) for i in range(n_pts)],
+        "lat": rng.uniform(-65, 65, n_pts), "lon": rng.uniform(-155, 155, n_pts),
+    }))
+    base = {(r["image_id"], r["boundary_id"])
+            for r in spatial_join.broadcast_pip_join_native(points, boundaries).collect()}
+    pre = {(r["image_id"], r["boundary_id"])
+           for r in spatial_join.broadcast_pip_join_native(
+               points, boundaries, cell_prefilter_res=3).collect()}
+    assert base and pre == base

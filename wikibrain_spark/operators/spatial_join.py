@@ -97,7 +97,9 @@ def _edge_table(boundaries: DataFrame) -> DataFrame:
              "e.y0", "e.x0", "e.y1", "e.x1")
 
 
-def broadcast_pip_join_native(points: DataFrame, boundaries: DataFrame) -> DataFrame:
+def broadcast_pip_join_native(
+    points: DataFrame, boundaries: DataFrame, cell_prefilter_res: int | None = None
+) -> DataFrame:
     """Fully-JVM, fully-NARROW even-odd PIP: the (broadcast-sized) polygon
     set is aggregated into ONE row — an array<struct<bid, bbox, edges>>
     column — and broadcast-cross-joined onto the points; each point filters
@@ -110,6 +112,13 @@ def broadcast_pip_join_native(points: DataFrame, boundaries: DataFrame) -> DataF
     'what's wrong #4'); with the polygons as data the lambda is fixed-size
     regardless of polygon cardinality. Same half-open edge rule as the
     NumPy kernel (geo/pip.py points_in_ring).
+
+    cell_prefilter_res: when set, the one-row dim is replaced by a
+    (cover_cell -> polygon-subset array) dim joined on each point's hexlite
+    cell — a broadcast hash equi-join, still zero shuffle of the points —
+    so each point folds only over the polygons whose bbox covers its cell.
+    This is the scale configuration for large polygon sets (per-point work
+    drops from O(all polygons) to O(cell candidates)).
     """
     n = F.size("ring_lat")
     edges = F.transform(
@@ -121,14 +130,15 @@ def broadcast_pip_join_native(points: DataFrame, boundaries: DataFrame) -> DataF
             F.element_at("ring_lon", F.pmod(i + 1, n) + 1).alias("x1"),
         ),
     )
-    poly_dim = boundaries.select(
+    poly_structs = boundaries.select(
+        "boundary_id",
         F.struct(
             F.col("boundary_id").alias("bid"),
             F.array_min("ring_lat").alias("lat_min"), F.array_max("ring_lat").alias("lat_max"),
             F.array_min("ring_lon").alias("lon_min"), F.array_max("ring_lon").alias("lon_max"),
             edges.alias("edges"),
-        ).alias("p")
-    ).agg(F.collect_list("p").alias("polys"))  # single row
+        ).alias("p"),
+    )
 
     lat, lon = F.col("lat"), F.col("lon")
 
@@ -151,10 +161,26 @@ def broadcast_pip_join_native(points: DataFrame, boundaries: DataFrame) -> DataF
         )
         return F.when(in_bbox, F.pmod(crossings, F.lit(2)) == 1).otherwise(F.lit(False))
 
-    pts = points.crossJoin(F.broadcast(poly_dim))
+    if cell_prefilter_res is None:
+        poly_dim = poly_structs.agg(F.collect_list("p").alias("polys"))  # single row
+        pts = points.crossJoin(F.broadcast(poly_dim))
+    else:
+        cover = polygon_cover(boundaries, cell_prefilter_res)
+        cell_dim = (
+            cover.join(poly_structs, "boundary_id")
+            .groupBy("cell")
+            .agg(F.collect_list("p").alias("polys"))
+        )
+        pts = points.withColumn(
+            "cell", cells.hexlite_cell_col(F.col("lat"), F.col("lon"), cell_prefilter_res)
+        ).join(F.broadcast(cell_dim), "cell", "left")
     return pts.select(
         "image_id", "lat", "lon",
-        F.explode(F.transform(F.filter(F.col("polys"), inside), lambda s: s["bid"])).alias("boundary_id"),
+        # explode(null) yields no rows, so points whose cell has no covering
+        # polygon (left-join miss) drop out without a null guard
+        F.explode(
+            F.transform(F.filter(F.col("polys"), inside), lambda s: s["bid"])
+        ).alias("boundary_id"),
     )
 
 
