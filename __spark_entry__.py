@@ -47,6 +47,12 @@ LON_EXPR = "(CAST((event_id * 91) % 3600 AS DOUBLE) / 10.0) - 180.0"
 PLACE_LAT = "(CAST((n_nationkey * 13) % 170 AS DOUBLE) * 1.0) - 85.0"
 PLACE_LON = "(CAST((n_nationkey * 29) % 360 AS DOUBLE) * 1.0) - 180.0"
 
+# clustered kNN layout for the k-ring query (dense regional box)
+KR_QLAT = "40.0 + (CAST((event_id * 37) % 1000 AS DOUBLE) / 100.0)"
+KR_QLON = "(CAST((event_id * 91) % 2000 AS DOUBLE) / 100.0)"
+KR_PLAT = "40.0 + (CAST((c_custkey * 13) % 1000 AS DOUBLE) / 100.0)"
+KR_PLON = "(CAST((c_custkey * 29) % 2000 AS DOUBLE) / 100.0)"
+
 # axis-aligned test polygons; under the half-open even-odd rule a rectangle
 # contains lat in [lat0, lat1) x lon in [lon0, lon1)
 RECTS = [
@@ -317,14 +323,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return knn.knn_bruteforce(qs, places, k=3).orderBy("query_id", "rank")
     q["q_knn"] = q_knn
 
-    # rows-only: k-ring scale path must match brute force (verified in pytest)
+    # k-ring scale path with a FULL brute-force oracle: clustered layout
+    # (10x20 deg box, customer-derived places) where ring=4 cells at res=3
+    # provably cover every query's true top-3 (verified exact at sf0.001,
+    # sf0.01 AND sf0.1, with ring=3 already exact as margin)
     def q_knn_kring(spark, sf):
-        qs = _event_points(spark, sf).where(F.col("event_id") < 20).withColumnRenamed("event_id", "query_id")
-        places = _t(spark, sf, "nation").select(
-            F.col("n_nationkey").alias("place_id"),
-            F.expr(PLACE_LAT).alias("lat"), F.expr(PLACE_LON).alias("lon"),
+        qs = _t(spark, sf, "events").select(
+            F.col("event_id").alias("query_id"),
+            F.expr(KR_QLAT).alias("lat"), F.expr(KR_QLON).alias("lon"),
+        ).where(F.col("query_id") < 20)
+        places = _t(spark, sf, "customer").select(
+            F.col("c_custkey").alias("place_id"),
+            F.expr(KR_PLAT).alias("lat"), F.expr(KR_PLON).alias("lon"),
         )
-        return knn.knn_kring(qs, places, k=3, res=0, ring=2).orderBy("query_id", "rank")
+        return knn.knn_kring(qs, places, k=3, res=3, ring=4).orderBy("query_id", "rank")
     q["q_knn_kring"] = q_knn_kring
 
     # ---- ontology closure (J7: iterative frontier join vs recursive CTE)
@@ -692,6 +704,23 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY p.event_id, r.boundary_id
     """
     knn_hv = haversine_km_sql("q.lat", "q.lon", "p.lat", "p.lon")
+    kr_hv = haversine_km_sql("q.lat", "q.lon", "p.lat", "p.lon")
+    knn_kring_sql = f"""
+        WITH qs AS (SELECT event_id AS query_id,
+                           {KR_QLAT} AS lat, {KR_QLON} AS lon
+                    FROM events WHERE event_id < 20),
+             pl AS (SELECT c_custkey AS place_id,
+                           {KR_PLAT} AS lat, {KR_PLON} AS lon
+                    FROM customer),
+             scored AS (
+               SELECT q.query_id, p.place_id,
+                      row_number() OVER (PARTITION BY q.query_id
+                                         ORDER BY {kr_hv} ASC, p.place_id ASC) AS rank
+               FROM qs q CROSS JOIN pl p
+             )
+        SELECT query_id, place_id, rank FROM scored WHERE rank <= 3
+        ORDER BY query_id, rank
+    """
     knn_sql = f"""
         WITH qs AS (SELECT * FROM ({events_pts}) WHERE event_id < 20),
              pl AS ({places}),
@@ -921,9 +950,7 @@ def oracle_sql() -> dict[str, str]:
         "q_pip_rectangles": pip_sql,
         "q_pip_shuffle_salted": pip_sql,  # same contract as the broadcast path
         "q_knn": knn_sql,
-        # q_knn_kring: rows-only — with 25 sparse global places no fixed ring
-        # guarantees the true top-k; exactness-on-dense-data is pinned in
-        # tests/test_pipeline_ops.py::test_kring_knn_matches_bruteforce
+        "q_knn_kring": knn_kring_sql,
         "q_closure": closure_sql,
         "q_priority_top1": """
             WITH langs(rank, lang) AS (VALUES (0,'en'),(1,'de'),(2,'fr'),(3,'nl'),(4,'ru')),
