@@ -62,3 +62,43 @@ def test_mean_pool_resize_shape_and_range():
     small = codecs.mean_pool_resize(img, 8, 8)
     assert small.shape == (8, 8, 3)
     assert small.dtype == np.uint8
+
+
+def test_video_roundtrip_and_sampling():
+    import numpy as np
+    rng = np.random.default_rng(5)
+    frames = [rng.integers(0, 256, (16, 24, 3), dtype=np.uint8) for _ in range(10)]
+    payload = codecs.encode_video(frames, "pngz", fps=24, lat=48.8, lon=2.3)
+    hdr = codecs.parse_video_header(payload)
+    assert (hdr["n_frames"], hdr["fps"], hdr["fmt"]) == (10, 24, "pngz")
+    sampled = codecs.sample_video_frames(payload, every_n=3)
+    assert [no for no, _ in sampled] == [0, 3, 6, 9]
+    for no, img in sampled:
+        arr, meta = codecs.decode_image(img)
+        assert np.array_equal(arr, frames[no])  # pngz lossless
+        assert meta["lat"] == 48.8
+
+
+def test_sample_frames_operator_composes_with_image_ops(spark):
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from wikibrain_spark.operators import geotag
+
+    rng = np.random.default_rng(6)
+    rows = []
+    for v in range(4):
+        frames = [rng.integers(0, 256, (8, 8, 3), dtype=np.uint8) for _ in range(9)]
+        rows.append((f"v{v}", codecs.encode_video(frames, "bmp", lat=10.0 + v, lon=20.0)))
+    videos = spark.createDataFrame(pd.DataFrame(rows, columns=["video_id", "bytes"]))
+    sampled = geotag.sample_frames(videos, every_n=4)
+    got = sampled.collect()
+    assert len(got) == 4 * 3  # frames 0,4,8 per video
+    # sampled frames ARE image payloads: the geotag path runs on them as-is
+    pts = geotag.extract_geotags(
+        sampled.select(F.concat("video_id", F.lit("#"), "frame_no").alias("image_id"),
+                       F.col("frame").alias("bytes")),
+        with_s2=False,
+    ).collect()
+    assert len(pts) == 12
+    assert all(abs(r["lon"] - 20.0) < 1e-9 for r in pts)

@@ -236,3 +236,55 @@ def mean_pool_resize(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
             out[i, j] = arr[ys[i]:max(ys[i + 1], ys[i] + 1),
                             xs[j]:max(xs[j + 1], xs[j] + 1)].mean(axis=(0, 1))
     return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------- video
+
+VIDEO_MAGIC = b"WBVD"
+VIDEO_HEADER_FMT = "<4sBBHHIHdd"  # magic ver fmt w h n_frames fps lat lon
+VIDEO_HEADER_SIZE = struct.calcsize(VIDEO_HEADER_FMT)
+
+
+def encode_video(frames: list[np.ndarray], fmt: str, fps: int = 30,
+                 lat: float = 0.0, lon: float = 0.0) -> bytes:
+    """Deterministic synthetic video container: a header + length-prefixed
+    per-frame bodies in one of the image codecs. Stands in for a real
+    container format (this sandbox ships no video libraries); the Spark-side
+    plumbing over it — schema, batch shape, seekable frame offsets — is the
+    real engineering."""
+    h, w = frames[0].shape[:2]
+    enc = _ENCODERS[fmt]
+    parts = [struct.pack(VIDEO_HEADER_FMT, VIDEO_MAGIC, VERSION, FMT_CODES[fmt],
+                         w, h, len(frames), fps, lat, lon)]
+    for fr in frames:
+        body = enc(fr)
+        parts.append(struct.pack("<I", len(body)))
+        parts.append(body)
+    return b"".join(parts)
+
+
+def parse_video_header(payload: bytes) -> dict:
+    magic, ver, fmt_code, w, h, n_frames, fps, lat, lon = struct.unpack(
+        VIDEO_HEADER_FMT, payload[:VIDEO_HEADER_SIZE]
+    )
+    if magic != VIDEO_MAGIC or ver != VERSION:
+        raise ValueError("not a WBVD payload")
+    return {"fmt": CODE_FMTS[fmt_code], "w": w, "h": h,
+            "n_frames": n_frames, "fps": fps, "lat": lat, "lon": lon}
+
+
+def sample_video_frames(payload: bytes, every_n: int) -> list[tuple[int, bytes]]:
+    """(frame_no, image_payload) for frames 0, every_n, 2*every_n, ... —
+    each returned as a standalone WBIM image payload (header + body) so every
+    downstream image operator (decode, features, geotag) composes directly."""
+    hdr = parse_video_header(payload)
+    img_hdr = pack_header(hdr["fmt"], hdr["w"], hdr["h"], hdr["lat"], hdr["lon"])
+    out = []
+    off = VIDEO_HEADER_SIZE
+    for i in range(hdr["n_frames"]):
+        (blen,) = struct.unpack("<I", payload[off:off + 4])
+        body_off = off + 4
+        if i % every_n == 0:
+            out.append((i, img_hdr + payload[body_off:body_off + blen]))
+        off = body_off + blen
+    return out
