@@ -782,7 +782,9 @@ def oracle_sql() -> dict[str, str]:
              + (length(padded) - length(replace(padded, ' die ', ''))) / 5.0) AS c_de
           FROM t
         )
-        SELECT doc_id, n_tokens, n AS n_chars_actual,
+        SELECT doc_id, n_tokens,
+               len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s'']+|\s+')) AS bpe_tokens,
+               n AS n_chars_actual,
                CAST(floor(ar * 1000) AS BIGINT) AS alpha_permille,
                CAST(floor(dr * 1000) AS BIGINT) AS digit_permille,
                CAST(floor((ar * 0.5 + (1.0 - dr) * 0.2 + least(n_tokens / 50.0, 1.0) * 0.3) * 1000) AS BIGINT) / 1000.0 AS quality,

@@ -25,6 +25,17 @@ def token_count(text: Column) -> Column:
     return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, "\\s+", -1)))
 
 
+# GPT-2-style pre-tokenizer shape, restricted to RE2-compatible constructs
+# (no lookahead) so Spark (Java regex) and DuckDB (RE2) count identically
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+|\s+"
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Subword-ish token count via the BPE pre-tokenizer regex — the cheap
+    stand-in for a real BPE vocab when budgeting training tokens."""
+    return F.regexp_count(text, F.lit(BPE_ISH_PATTERN))
+
+
 def _count_occurrences(text: Column, marker: str) -> Column:
     return (F.length(text) - F.length(F.replace(text, F.lit(marker), F.lit("")))) / len(marker)
 
@@ -117,7 +128,9 @@ def document_stats(documents: DataFrame, text_col: str = "text") -> DataFrame:
         + F.least(F.col("n_tokens") / F.lit(50.0), F.lit(1.0)) * 0.3
     )
     return staged.select(
-        "doc_id", "n_tokens", "n_chars_actual",
+        "doc_id", "n_tokens",
+        bpe_ish_token_count(F.col("__t")).alias("bpe_tokens"),
+        "n_chars_actual",
         F.floor(F.col("__ar") * 1000).cast("long").alias("alpha_permille"),
         F.floor(F.col("__dr") * 1000).cast("long").alias("digit_permille"),
         (F.floor(score * 1000).cast("long") / 1000.0).alias("quality"),
