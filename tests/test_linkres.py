@@ -166,3 +166,30 @@ def test_geotagged_page_sniff(spark):
         "i", wikitext.is_wikipedia_page_geotagged(F.col("page")).alias("g")).collect()}
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, f"case {i}"
+
+
+def test_tag_from_wikidata_errors(spark, dims):
+    """generate_error_report_for_tag_from_wikidata (:795-820): add-proposal
+    when the OSM tag is absent; conflicts only behind the
+    allow_requesting_edits_outside_osm flag."""
+    elements = spark.createDataFrame(
+        [
+            (0, "node", {"wikidata": "Q777001"}, 52.0, 19.0),                          # absent -> add
+            (1, "node", {"wikidata": "Q777001", "teryt:simc": "0912345"}, 52.0, 19.0),  # equal -> clean
+            (2, "node", {"wikidata": "Q777001", "teryt:simc": "BAD"}, 52.0, 19.0),      # conflict
+        ],
+        "element_id long, object_type string, tags map<string,string>, lat double, lon double",
+    )
+    got = {r["element_id"]: r for r in linkres.tag_from_wikidata_errors(
+        elements, dims, pid="P4046", osm_key="teryt:simc").collect()}
+    assert set(got) == {0}
+    assert got[0]["error_id"] == "tag may be added based on wikidata"
+    assert got[0]["error_message"].startswith("0912345 may be added as teryt:simc tag")
+    assert dict(got[0]["prerequisite"]) == {"wikidata": "Q777001", "teryt:simc": None}
+
+    got2 = {r["element_id"]: r for r in linkres.tag_from_wikidata_errors(
+        elements, dims, pid="P4046", osm_key="teryt:simc",
+        allow_requesting_edits_outside_osm=True).collect()}
+    assert set(got2) == {0, 2}
+    assert got2[2]["error_id"] == "tag conflict with wikidata value"
+    assert dict(got2[2]["prerequisite"]) == {"wikidata": "Q777001", "teryt:simc": "BAD"}

@@ -1417,3 +1417,58 @@ def _brand_errors(elements: DataFrame, facts: DataFrame, bcast: bool = True) -> 
                      " OSM. " + DATA_QUALITY_WARNING)),  # :768
         ).alias("brand_err"),
     ).where(F.col("brand_err").isNotNull())
+
+
+def tag_from_wikidata_errors(
+    elements: DataFrame,
+    dims: WikiDims,
+    pid: str,
+    osm_key: str,
+    id_suffix: str = "",
+    message_suffix: str = "",
+    allow_requesting_edits_outside_osm: bool = False,
+) -> DataFrame:
+    """generate_error_report_for_tag_from_wikidata (:795-820): propose adding
+    an OSM tag from a wikidata property (first value), or flag a conflict
+    between them (conflicts only when allow_requesting_edits_outside_osm —
+    'typically Wikidata is wrong, not OSM', :812-814). Exported surface like
+    the reference's; not part of the main resolve() flow there either.
+
+    elements(element_id, object_type, tags, ...) -> report rows with the
+    same payload schema as resolve()."""
+    prop = (
+        dims.claims.where((F.col("pid") == pid) & F.col("value_str").isNotNull())
+        .groupBy("qid").agg(F.first("value_str").alias("from_wikidata"))
+    )
+    base = elements.where(_tag("wikidata").isNotNull()).withColumn("wikidata", _tag("wikidata"))
+    base = base.join(
+        F.broadcast(prop.withColumnRenamed("qid", "wikidata")), "wikidata"
+    )
+    current = _tag(osm_key)
+    add_err = _err(
+        "tag may be added based on wikidata" + id_suffix,  # :810
+        F.concat(F.col("from_wikidata"),
+                 F.lit(f" may be added as {osm_key} tag based on wikidata entry"
+                       f"{message_suffix} " + DATA_QUALITY_WARNING)),
+        prerequisite=_m(("wikidata", F.col("wikidata")), (osm_key, None)),  # :810
+    )
+    conflict_err = _err(
+        "tag conflict with wikidata value" + id_suffix,  # :817
+        F.concat(F.col("from_wikidata"), F.lit(" conflicts with "), current,
+                 F.lit(f" for {osm_key} tag based on wikidata entry - note that OSM"
+                       " value may be OK and Wikidata entry is wrong, in that case"
+                       " one may either ignore this error or fix Wikidata entry"
+                       f"{message_suffix} " + DATA_QUALITY_WARNING)),
+        prerequisite=_m(("wikidata", F.col("wikidata")), (osm_key, current)),  # :820
+    )
+    err = F.when(current.isNull(), add_err)
+    if allow_requesting_edits_outside_osm:
+        err = err.when(current != F.col("from_wikidata"), conflict_err)
+    return base.withColumn("err", err).where(F.col("err").isNotNull()).select(
+        "element_id",
+        F.col("err.error_id").alias("error_id"),
+        F.col("err.error_message").alias("error_message"),
+        F.col("err.error_general_intructions").alias("error_general_intructions"),
+        F.col("err.prerequisite").alias("prerequisite"),
+        F.col("err.proposed_tagging_changes").alias("proposed_tagging_changes"),
+    )
