@@ -61,3 +61,40 @@ def test_streaming_counts_match_batch(spark, stream_dir, tmp_path):
         check_dtype=False,
     )
     assert got["n_images"].sum() == 120
+
+
+@pytest.fixture(scope="module")
+def dedup_stream_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("dedup_stream")
+    # fingerprints repeat within AND across files; survivor = min image_id
+    for fileno, fps in enumerate([["a", "b", "a", "c"], ["b", "d", "a", "d"]]):
+        pd.DataFrame({
+            "image_id": [f"img_{fileno}_{i}" for i in range(len(fps))],
+            "fp": fps,
+        }).to_parquet(root / f"part{fileno}.parquet", index=False)
+    return str(root)
+
+
+def test_streaming_dedup_first_occurrence_only(spark, dedup_stream_dir, tmp_path):
+    """applyInPandasWithState exact-dedup: one surviving row per fingerprint
+    across all micro-batches (state persisted via checkpoint); within a batch
+    the deterministic survivor is the minimum image_id."""
+    stream = (
+        spark.readStream.schema("image_id string, fp string")
+        .option("maxFilesPerTrigger", 1)  # force 2 micro-batches -> cross-batch state
+        .parquet(dedup_stream_dir)
+    )
+    deduped = pipeline.streaming_dedup(stream, key_col="fp", id_col="image_id")
+    q = (
+        deduped.writeStream.outputMode("append").format("memory")
+        .queryName("dedup_test").option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {r["fp"]: r["image_id"] for r in spark.sql("select * from dedup_test").collect()}
+    assert got == {
+        "a": "img_0_0",   # first batch, min id among the two 'a's
+        "b": "img_0_1",   # first batch beats second-batch 'b'
+        "c": "img_0_3",
+        "d": "img_1_1",   # min id among the two 'd's in batch 2
+    }

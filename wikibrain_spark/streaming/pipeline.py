@@ -84,3 +84,38 @@ def run_stream_once(df: DataFrame, checkpoint_dir: str, table_name: str = "tile_
     )
     q.awaitTermination()
     return q
+
+
+def streaming_dedup(
+    docs: DataFrame, key_col: str = "fp", id_col: str = "image_id"
+) -> DataFrame:
+    """Stateful streaming exact-dedup (applyInPandasWithState): the first row
+    per fingerprint — across ALL micro-batches, state persisted in the
+    checkpoint — passes; every later duplicate is dropped. The ingest-time
+    companion of the batch dedup operators (operators/dedup.py): at 100 TB
+    the fingerprint groupBy shards state across executors and each group's
+    state is one int.
+
+    Within a batch the deterministic survivor is the minimum id (the
+    reference point for re-runs). Input must be a streaming DataFrame
+    carrying (key_col, id_col)."""
+    import pandas as pd  # noqa: F811 — explicit for the worker closure
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = f"{key_col} string, {id_col} string"
+
+    def first_only(key, pdfs, state: GroupState):
+        if state.exists:
+            return
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if rows.empty:
+            return
+        state.update((1,))
+        yield rows.sort_values(id_col).iloc[:1][[key_col, id_col]]
+
+    return (
+        docs.groupBy(key_col)
+        .applyInPandasWithState(
+            first_only, out_schema, "seen int", "append", GroupStateTimeout.NoTimeout
+        )
+    )
