@@ -93,14 +93,33 @@ def main() -> None:
     headline = [
         "q_pricing_summary", "q_top_customer_revenue", "q_order_priority_window",
         "q_cells_r7", "q_tile_stats", "q_pip_rectangles", "q_pip_shuffle_salted",
-        "q_knn", "q_closure", "q_doc_stats", "q_dedup_exact", "q_dedup_jaccard",
-        "q_dedup_minhash", "q_ann_topk", "q_malformed_check", "q_apply_changes",
+        "q_knn", "q_closure", "q_doc_stats", "q_dedup_exact",
+        "q_ann_topk", "q_malformed_check", "q_apply_changes",
     ]
     qs = em.queries()
     for name in headline:
         t0 = time.time()
         _materialize(qs[name](spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)
+
+    # near-dup pair benchmarks on a FIXED 1000-doc slice: the synthetic
+    # documents table repeats a tiny vocabulary, so pair density approaches
+    # quadratic at larger SF — timing the full table would measure the
+    # fixture's degeneracy, not operator throughput. (The driver's
+    # correctness gate still runs both on the FULL table at sf0.01.)
+    from pyspark.sql import functions as _F
+    from wikibrain_spark.operators import dedup as _dedup
+
+    docs_slice = spark.read.parquet(f"{sf_dir}/documents.parquet").where(_F.col("doc_id") < 1000)
+    t0 = time.time()
+    _materialize(_dedup.token_jaccard_pairs(docs_slice, threshold=0.60))
+    timings["q_dedup_jaccard_1k"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    _materialize(_dedup.minhash_lsh_pairs(docs_slice, n_perms=16, n_bands=4, threshold=0.60))
+    timings["q_dedup_minhash_1k"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    _materialize(_dedup.simhash_near_pairs(docs_slice, max_hamming=8))
+    timings["q_dedup_simhash_1k"] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
