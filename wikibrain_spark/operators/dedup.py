@@ -175,10 +175,16 @@ def minhash_lsh_pairs(
     )
     a = banded.alias("a")
     b = banded.alias("b")
+    # size-compatibility prefilter BEFORE the expensive set algebra:
+    # J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so incompatible sizes can never
+    # verify — this prunes inside the join, before dedup and intersect
+    sa, sb = F.size(F.col("a.grams")), F.size(F.col("b.grams"))
+    size_ok = F.least(sa, sb) >= F.lit(threshold) * F.greatest(sa, sb)
     cand = (
         a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
                & (F.col("a.band_hash") == F.col("b.band_hash"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
+               & (F.col("a.doc_id") < F.col("b.doc_id"))
+               & size_ok)
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
             F.col("a.grams").alias("grams_a"), F.col("b.grams").alias("grams_b"),
