@@ -187,3 +187,30 @@ def test_simhash_banding_complete_recall(spark):
     }
     assert exact, "fixture produced no close pairs - test would be vacuous"
     assert got == exact, f"missing={exact - got} extra={got - exact}"
+
+
+def test_embedding_lsh_neardup_recall_and_precision(spark, embeddings):
+    """LSH-blocked embedding near-dup (scale path). Precision must be exact
+    (the verify step recomputes cosine); recall vs the label-blocked exact
+    kernel is bounded below — one table of 8 planes collides high-cosine
+    pairs with OR-amplified probability across 16 tables of 4 planes."""
+    exact = {(r["id_a"], r["id_b"]) for r in dedup.embedding_near_dup_pairs(
+        embeddings, threshold=0.3).collect()}
+    lsh_rows = dedup.embedding_near_dup_pairs_lsh(
+        embeddings, threshold=0.3, n_planes=4, n_tables=16).collect()
+    assert exact, "fixture has no near-dups at 0.3 - vacuous"
+
+    # precision: every returned pair must genuinely be >= 0.9 (numpy check)
+    pdf = embeddings.toPandas()
+    mat = {int(i): np.asarray(v, dtype=np.float64)
+           for i, v in zip(pdf["vec_id"], pdf["embedding"])}
+    for r in lsh_rows:
+        a, b = mat[r["id_a"]], mat[r["id_b"]]
+        sim = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert sim >= 0.3 - 1e-9
+
+    # recall vs the label-blocked exact set (LSH may also legitimately find
+    # cross-label pairs the blocked kernel cannot see)
+    lsh = {(r["id_a"], r["id_b"]) for r in lsh_rows}
+    recall = len(exact & lsh) / len(exact)
+    assert recall >= 0.5, f"recall {recall:.2f}"

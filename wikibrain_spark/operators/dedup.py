@@ -62,11 +62,14 @@ def jaccard_pairs(
     )
     a = d.alias("a")
     b = d.alias("b")
+    sa, sb = F.size(F.col("a.grams")), F.size(F.col("b.grams"))
     pairs = a.join(
         b,
         (F.col("a.lang") == F.col("b.lang"))
         & (F.col("a.lbucket") == F.col("b.lbucket"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        # J <= min/max of set sizes: prune before the set algebra
+        & (F.least(sa, sb) >= F.lit(threshold) * F.greatest(sa, sb)),
     )
     inter = F.size(F.array_intersect("a.grams", "b.grams"))
     union = F.size(F.array_union("a.grams", "b.grams"))
@@ -95,11 +98,14 @@ def token_jaccard_pairs(
     )
     a = d.alias("a")
     b = d.alias("b")
+    sa, sb = F.size(F.col("a.toks")), F.size(F.col("b.toks"))
     pairs = a.join(
         b,
         (F.col("a.lang") == F.col("b.lang"))
         & (F.col("a.lbucket") == F.col("b.lbucket"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        # J <= min/max of set sizes: prune before the set algebra
+        & (F.least(sa, sb) >= F.lit(threshold) * F.greatest(sa, sb)),
     )
     inter = F.size(F.array_intersect("a.toks", "b.toks"))
     union = F.size("a.toks") + F.size("b.toks") - inter
@@ -321,3 +327,53 @@ def simhash_near_pairs(documents: DataFrame, max_hamming: int = 3, text_col: str
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return cand.where(hamming <= max_hamming).select("doc_a", "doc_b", hamming.alias("hamming"))
+
+
+def embedding_near_dup_pairs_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 4,
+    n_tables: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicates with HYPERPLANE-LSH blocking — the
+    scale path the label-blocked variant points at: candidates share a
+    signed-projection bucket in ANY of n_tables tables (OR-amplified recall
+    1-(1-p^planes)^tables, p = 1 - theta/pi), then exact cosine verifies so
+    precision is exact. Recall is pinned against the exact label-blocked
+    kernel in pytest. Lower thresholds need fewer planes / more tables."""
+    from wikibrain_spark.operators.simsearch import hyperplane_signatures
+
+    sig = hyperplane_signatures(
+        embeddings, n_planes=n_planes, n_tables=n_tables, seed=17,
+        id_col=id_col, vec_col=vec_col,
+    ).select(F.col(id_col).alias("id"), "table_id", "bucket")
+    norm = F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")))
+    d = embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), norm.alias("nrm")
+    ).join(sig, "id")
+    a = d.alias("a")
+    b = d.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.table_id") == F.col("b.table_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            F.col("a.v").alias("va"), F.col("b.v").alias("vb"),
+            F.col("a.nrm").alias("na"), F.col("b.nrm").alias("nb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    sim = dot / (F.col("na") * F.col("nb"))
+    return pairs.where(sim >= threshold).select(
+        "id_a", "id_b", F.floor(sim * 1000).cast("long").alias("sim_e3"),
+    )
