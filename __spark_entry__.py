@@ -339,6 +339,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return knn.knn_kring(qs, places, k=3, res=3, ring=4).orderBy("query_id", "rank")
     q["q_knn_kring"] = q_knn_kring
 
+    # ---- distance-band range join (geospatial range join Spark lacks):
+    # all (event, place) pairs within 1500 km via k-ring cell candidates
+    def q_within_distance(spark, sf):
+        ev = _event_points(spark, sf).withColumnRenamed("event_id", "left_id")
+        places = _t(spark, sf, "nation").select(
+            F.col("n_nationkey").alias("right_id"),
+            F.expr(PLACE_LAT).alias("lat"), F.expr(PLACE_LON).alias("lon"),
+        )
+        return knn.within_distance_join(ev, places, km=1500.0, max_abs_lat=85.0).orderBy(
+            "left_id", "right_id"
+        )
+    q["q_within_distance"] = q_within_distance
+
     # ---- ontology closure (J7: iterative frontier join vs recursive CTE)
     def q_closure(spark, sf):
         n = _t(spark, sf, "nation")
@@ -953,6 +966,15 @@ def oracle_sql() -> dict[str, str]:
         "q_pip_shuffle_salted": pip_sql,  # same contract as the broadcast path
         "q_knn": knn_sql,
         "q_knn_kring": knn_kring_sql,
+        "q_within_distance": f"""
+            WITH ev AS ({events_pts}),
+                 pl AS ({places})
+            SELECT a.event_id AS left_id, p.place_id AS right_id,
+                   CAST(floor({haversine_km_sql("a.lat", "a.lon", "p.lat", "p.lon")} * 1000) AS BIGINT) AS dist_km_e3
+            FROM ev a CROSS JOIN pl p
+            WHERE {haversine_km_sql("a.lat", "a.lon", "p.lat", "p.lon")} <= 1500.0
+            ORDER BY left_id, right_id
+        """,
         "q_closure": closure_sql,
         "q_priority_top1": """
             WITH langs(rank, lang) AS (VALUES (0,'en'),(1,'de'),(2,'fr'),(3,'nl'),(4,'ru')),

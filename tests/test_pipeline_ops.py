@@ -214,3 +214,25 @@ def test_embedding_lsh_neardup_recall_and_precision(spark, embeddings):
     lsh = {(r["id_a"], r["id_b"]) for r in lsh_rows}
     recall = len(exact & lsh) / len(exact)
     assert recall >= 0.5, f"recall {recall:.2f}"
+
+
+def test_within_distance_join_matches_crossjoin(spark):
+    """Distance-band range join: cell-candidate equi-join must return exactly
+    the cross-join-with-filter pairs, including near-polar points (the lon
+    ring clamps to the full circle)."""
+    from wikibrain_spark.geo.geodesic import haversine_km_col
+
+    rng = np.random.default_rng(9)
+    a = spark.createDataFrame(pd.DataFrame({
+        "left_id": range(300),
+        "lat": rng.uniform(-84, 84, 300), "lon": rng.uniform(-179, 179, 300)}))
+    b = spark.createDataFrame(pd.DataFrame({
+        "right_id": range(40),
+        "lat": rng.uniform(-84, 84, 40), "lon": rng.uniform(-179, 179, 40)}))
+    got = {(r["left_id"], r["right_id"])
+           for r in knn.within_distance_join(a, b, km=800.0, max_abs_lat=84.0).collect()}
+    d = haversine_km_col(F.col("x.lat"), F.col("x.lon"), F.col("y.lat"), F.col("y.lon"))
+    want = {(r["left_id"], r["right_id"])
+            for r in a.alias("x").crossJoin(b.alias("y")).where(d <= 800.0)
+            .select("left_id", "right_id").collect()}
+    assert got == want and want

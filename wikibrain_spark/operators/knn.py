@@ -81,3 +81,75 @@ def knn_kring(
         .where(F.col("rank") <= k)
         .select("query_id", "place_id", "rank")
     )
+
+
+def within_distance_join(
+    left: DataFrame,
+    right: DataFrame,
+    km: float,
+    res: int | None = None,
+    max_abs_lat: float = 80.0,
+) -> DataFrame:
+    """Distance-band range join: ALL (left_id, right_id) pairs within `km`,
+    as a cell equi-join instead of a cross join (the geospatial range-join
+    Spark lacks natively).
+
+    left(left_id, lat, lon) x right(right_id, lat, lon) ->
+    (left_id, right_id, dist_km_e3).
+
+    Completeness: the left side explodes to every cell whose rectangle can
+    contain a point within `km` — ±ceil(km/(111*step)) lat cells and
+    ±ceil(km/(111*cos(max_abs_lat)*step)) lon cells (equal-angle grid: lon
+    ground distance shrinks with |lat|, so the lon ring is sized for the
+    worst latitude the data may contain). An exact haversine verifies, so
+    precision is exact and recall is total for |lat| <= max_abs_lat.
+    """
+    import math
+
+    if res is None:
+        # coarsest-useful cells: edge >= km/2 keeps the ring rectangle small
+        # (a fine grid at a large radius explodes the per-point cell count)
+        res = 0
+        while res < 10 and cells.hexlite_step(res + 1) * 111.0 >= km / 2.0:
+            res += 1
+    step = cells.hexlite_step(res)
+    n_lat, n_lon = cells.hexlite_dims(res)
+    header = (cells.HEXLITE_MODE << 60) | (res << 56)
+    lat_ring = math.ceil(km / (111.0 * step)) + 1
+    # lon ground distance shrinks with |lat|; clamp to the full circle
+    lon_ring = min(
+        math.ceil(km / (111.0 * math.cos(math.radians(max_abs_lat)) * step)) + 1,
+        n_lon // 2,
+    )
+
+    r = right.select(
+        "right_id", F.col("lat").alias("rlat"), F.col("lon").alias("rlon"),
+        cells.hexlite_cell_col(F.col("lat"), F.col("lon"), res).alias("cell"),
+    )
+    l = left.select(
+        "left_id", F.col("lat").alias("llat"), F.col("lon").alias("llon"),
+        cells.hexlite_cell_col(F.col("lat"), F.col("lon"), res).alias("lcell"),
+    )
+    lat_idx = F.shiftright("lcell", 28).bitwiseAND(F.lit((1 << 28) - 1))
+    lon_idx = F.col("lcell").bitwiseAND(F.lit((1 << 28) - 1))
+    ring_cells = F.array(
+        *[
+            F.when(
+                (lat_idx + di >= 0) & (lat_idx + di < n_lat),
+                F.lit(header) + F.shiftleft(lat_idx + di, 28) + F.pmod(lon_idx + dj, F.lit(n_lon)),
+            )
+            for di in range(-lat_ring, lat_ring + 1)
+            for dj in range(-lon_ring, lon_ring + 1)
+        ]
+    )
+    l = l.select(
+        "left_id", "llat", "llon",
+        F.explode(F.array_distinct(F.filter(ring_cells, lambda c: c.isNotNull()))).alias("cell"),
+    )
+    dist = haversine_km_col(F.col("llat"), F.col("llon"), F.col("rlat"), F.col("rlon"))
+    return (
+        l.join(r, "cell")
+        .dropDuplicates(["left_id", "right_id"])
+        .where(dist <= km)
+        .select("left_id", "right_id", F.floor(dist * 1000).cast("long").alias("dist_km_e3"))
+    )
