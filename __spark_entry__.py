@@ -87,15 +87,16 @@ def _rect_boundaries(spark: SparkSession) -> DataFrame:
 # =====================================================================
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: image table -> geotag decode UDF -> H3-style cells ->
-    broadcast point-in-polygon join -> per-tile assignment rows."""
+    """Flagship: image table -> native binary geotag parse -> H3-style cells
+    -> point-in-polygon join -> per-tile assignment rows, in the zero-Python
+    `native` configuration (the scaling-gate carrier, BENCH/BASELINE.md);
+    tests pin it row-identical to the mapInPandas paths."""
     from wikibrain_spark.sources import synthetic
 
     paths = synthetic.materialize(DATA_DIR, n_images=2000)
     images = spark.read.parquet(paths["images"])
     boundaries = spark.read.parquet(paths["boundaries"])
-    points = geotag.extract_geotags(images, with_s2=False)
-    tiles = spatial_join.tile_assignments(points, boundaries, res=9, strategy="broadcast")
+    tiles = spatial_join.tile_assignments(images, boundaries, res=9, strategy="native")
     # sanity anchor to the driver's testdata (the contract asks entry() to
     # read sf0.001): tag each row with the sf0.001 event count
     n_events = _t(spark, "/root/testdata/sf0.001", "events").count()
