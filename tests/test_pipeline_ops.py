@@ -216,12 +216,19 @@ def test_embedding_lsh_neardup_recall_and_precision(spark, embeddings):
     assert recall >= 0.5, f"recall {recall:.2f}"
 
 
+def _crossjoin_pairs(a, b, km):
+    from wikibrain_spark.geo.geodesic import haversine_km_col
+
+    d = haversine_km_col(F.col("x.lat"), F.col("x.lon"), F.col("y.lat"), F.col("y.lon"))
+    return {(r["left_id"], r["right_id"])
+            for r in a.alias("x").crossJoin(b.alias("y")).where(d <= km)
+            .select("left_id", "right_id").collect()}
+
+
 def test_within_distance_join_matches_crossjoin(spark):
     """Distance-band range join: cell-candidate equi-join must return exactly
     the cross-join-with-filter pairs, including near-polar points (the lon
     ring clamps to the full circle)."""
-    from wikibrain_spark.geo.geodesic import haversine_km_col
-
     rng = np.random.default_rng(9)
     a = spark.createDataFrame(pd.DataFrame({
         "left_id": range(300),
@@ -231,8 +238,64 @@ def test_within_distance_join_matches_crossjoin(spark):
         "lat": rng.uniform(-84, 84, 40), "lon": rng.uniform(-179, 179, 40)}))
     got = {(r["left_id"], r["right_id"])
            for r in knn.within_distance_join(a, b, km=800.0, max_abs_lat=84.0).collect()}
-    d = haversine_km_col(F.col("x.lat"), F.col("x.lon"), F.col("y.lat"), F.col("y.lon"))
-    want = {(r["left_id"], r["right_id"])
-            for r in a.alias("x").crossJoin(b.alias("y")).where(d <= 800.0)
-            .select("left_id", "right_id").collect()}
+    want = _crossjoin_pairs(a, b, 800.0)
     assert got == want and want
+
+
+def test_within_distance_join_over_the_pole(spark):
+    """Polar regression (round-2 red oracle): points at |lat| in [81, 85]
+    with dlon near 180 deg are within 1500 km OVER the pole even though the
+    along-parallel distance is huge — the lon ring must go full circle near
+    the poles. This is exactly the driver configuration (km=1500) the
+    round-1/2 along-parallel ring sizing silently missed."""
+    rng = np.random.default_rng(31)
+    n = 120
+    lat = np.where(rng.random(n) < 0.5, 1, -1) * rng.uniform(81.0, 85.0, n)
+    a = spark.createDataFrame(pd.DataFrame({
+        "left_id": range(n), "lat": lat, "lon": rng.uniform(-180, 180, n)}))
+    blat = np.where(rng.random(30) < 0.5, 1, -1) * rng.uniform(81.0, 85.0, 30)
+    b = spark.createDataFrame(pd.DataFrame({
+        "right_id": range(30), "lat": blat, "lon": rng.uniform(-180, 180, 30)}))
+    got = {(r["left_id"], r["right_id"])
+           for r in knn.within_distance_join(a, b, km=1500.0).collect()}
+    want = _crossjoin_pairs(a, b, 1500.0)
+    # sanity: the fixture must actually contain over-pole pairs (pairs whose
+    # along-parallel lon-cell distance exceeds any equator-sized ring)
+    assert got == want and len(want) > 50
+
+
+def test_within_distance_join_all_latitudes_fine_res(spark):
+    """Property sweep at res=2 (a non-360-divisible grid): uniform sphere
+    including |lat| > 89 and antimeridian straddles; exercises the seam
+    margin and the per-band full-circle fallback at a finer resolution."""
+    rng = np.random.default_rng(77)
+    n = 250
+    a = spark.createDataFrame(pd.DataFrame({
+        "left_id": range(n),
+        "lat": np.degrees(np.arcsin(rng.uniform(-1, 1, n))),
+        "lon": rng.uniform(-180, 180, n)}))
+    b = spark.createDataFrame(pd.DataFrame({
+        "right_id": range(60),
+        "lat": np.degrees(np.arcsin(rng.uniform(-1, 1, 60))),
+        "lon": rng.uniform(-180, 180, 60)}))
+    got = {(r["left_id"], r["right_id"])
+           for r in knn.within_distance_join(a, b, km=400.0, res=2).collect()}
+    want = _crossjoin_pairs(a, b, 400.0)
+    assert got == want
+
+
+def test_within_distance_candidate_cells_explode_factor(spark):
+    """Scale pin (round-2 verdict #2): at the driver config (km=1500, auto
+    res=0) an equatorial row must explode to a handful of cells — not the
+    301-cell global worst case the old max_abs_lat sizing paid — while polar
+    rows still get their full-circle rings."""
+    df = spark.createDataFrame(
+        pd.DataFrame({"lat": [0.0, 45.0, 84.9], "lon": [0.0, 10.0, 0.0]}))
+    sizes = [r["n"] for r in df.select(
+        F.size(knn.within_distance_candidate_cells(
+            F.col("lat"), F.col("lon"), 1500.0, 0)).alias("n")).collect()]
+    equator, mid, polar = sizes
+    assert equator <= 25, f"equatorial ring {equator} cells (was 301 pre-fix)"
+    assert mid <= 30, f"mid-latitude ring {mid} cells"
+    # polar rows legitimately need full-circle bands (45 lon cells at res 0)
+    assert polar > 45, f"polar ring {polar} — full-circle fallback missing"

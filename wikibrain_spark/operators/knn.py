@@ -10,11 +10,11 @@ baseline (and the DuckDB-oracle-comparable form).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from wikibrain_spark.geo import cells
-from wikibrain_spark.geo.geodesic import haversine_km_col
+from wikibrain_spark.geo.geodesic import EARTH_RADIUS_KM, haversine_km_col
 
 
 def knn_bruteforce(queries: DataFrame, places: DataFrame, k: int = 3) -> DataFrame:
@@ -83,12 +83,110 @@ def knn_kring(
     )
 
 
+def within_distance_candidate_cells(
+    lat: Column, lon: Column, km: float, res: int
+) -> Column:
+    """array<long> of hexlite cells that can contain a point within `km` of
+    (lat, lon) — the candidate-generation kernel of :func:`within_distance_join`,
+    exposed so tests can measure per-row explode factor with ``F.size``.
+
+    Per-row / per-latitude-band sizing (all native expressions):
+
+    * Latitude ring: any point within angular distance theta = km/R has
+      |dlat| <= theta, so bands are a static ±(floor(theta_deg/step)+1)
+      unroll, with a per-row reachability guard that drops bands outside
+      [lat - theta, lat + theta].
+    * Longitude ring, per band: the points within `km` of the row form a
+      spherical cap of angular radius theta. At latitude phi2 the cap spans
+      dlon(phi2) = acos((cos theta - sin phi1 sin phi2)/(cos phi1 cos phi2))
+      (clamped to [-1, 1]; denominator epsilon-guarded so the pole limit
+      resolves to 0 or pi by sign). Over a band [lo, hi] the span is
+      unimodal with its maximum at sin phi2* = sin phi1 / cos theta, so the
+      band maximum is the value at clamp(phi2*, lo, hi). When the cap
+      contains a pole the formula yields pi — a full-circle longitude ring —
+      which is exactly the over-the-pole reachability an along-parallel
+      formula misses.
+
+    The per-band cell list is ``transform(sequence(-dj, dj), ...)`` — a
+    data-dependent-width ring with no Python in the plan. Recall is total
+    for ALL latitudes (poles included); an exact haversine filter after the
+    equi-join keeps precision exact.
+    """
+    import math
+
+    step = cells.hexlite_step(res)
+    n_lat, n_lon = cells.hexlite_dims(res)
+    header = (cells.HEXLITE_MODE << 60) | (res << 56)
+    theta = km / EARTH_RADIUS_KM  # angular radius, radians
+    theta_deg = math.degrees(theta)
+    cos_theta = math.cos(theta)
+    lat_ring = int(math.floor(theta_deg / step)) + 1
+    # 2*dj+1 consecutive lon indexes wrap to the full circle at this width
+    dj_cap = (n_lon + 1) // 2
+    # non-divisible grids (n_lon*step > 360) have one narrower seam cell at
+    # the antimeridian; a span crossing it covers one more index than the
+    # uniform-width count, so widen the margin by 1 there
+    dj_margin = 1 if abs(n_lon * step - 360.0) < 1e-9 else 2
+
+    lat_idx = F.least(F.floor((lat + F.lit(90.0)) / F.lit(step)), F.lit(n_lat - 1)).cast("long")
+    lon_idx = F.least(
+        F.floor(F.pmod(lon + F.lit(180.0), F.lit(360.0)) / F.lit(step)), F.lit(n_lon - 1)
+    ).cast("long")
+    phi1 = F.radians(lat)
+    sin1, cos1 = F.sin(phi1), F.cos(phi1)
+
+    def _clamp(x, lo, hi):
+        return F.greatest(lo, F.least(hi, x))
+
+    per_band = []
+    for di in range(-lat_ring, lat_ring + 1):
+        band = lat_idx + F.lit(di)
+        band_lo = band.cast("double") * F.lit(step) - F.lit(90.0)
+        band_hi = F.least(band_lo + F.lit(step), F.lit(90.0))
+        guard = (
+            (band >= 0)
+            & (band < n_lat)
+            & (band_lo <= lat + F.lit(theta_deg))
+            & (band_hi >= lat - F.lit(theta_deg))
+        )
+        if cos_theta <= 0.0:
+            # radius >= quarter circumference: the cap covers every
+            # longitude at every reachable band
+            dj = F.lit(dj_cap)
+        else:
+            phi2 = _clamp(
+                F.asin(_clamp(sin1 / F.lit(cos_theta), F.lit(-1.0), F.lit(1.0))),
+                F.radians(band_lo),
+                F.radians(band_hi),
+            )
+            f = (F.lit(cos_theta) - sin1 * F.sin(phi2)) / F.greatest(
+                cos1 * F.cos(phi2), F.lit(1e-12)
+            )
+            dlon_deg = F.degrees(F.acos(_clamp(f, F.lit(-1.0), F.lit(1.0))))
+            dj = F.least(
+                F.floor(dlon_deg / F.lit(step)).cast("long") + F.lit(dj_margin),
+                F.lit(dj_cap),
+            )
+        # NB: a default-arg capture (lambda d, band=band: ...) would make a
+        # 2-arg lambda, which F.transform binds as (element, index) — the
+        # factory keeps the lambda unary while capturing the band column
+        def _band_cells(band_col):
+            return lambda d: (
+                F.lit(header) + F.shiftleft(band_col, 28) + F.pmod(lon_idx + d, F.lit(n_lon))
+            )
+
+        per_band.append(F.when(guard, F.transform(F.sequence(-dj, dj), _band_cells(band))))
+    return F.array_distinct(
+        F.flatten(F.filter(F.array(*per_band), lambda a: a.isNotNull()))
+    )
+
+
 def within_distance_join(
     left: DataFrame,
     right: DataFrame,
     km: float,
     res: int | None = None,
-    max_abs_lat: float = 80.0,
+    max_abs_lat: float | None = None,
 ) -> DataFrame:
     """Distance-band range join: ALL (left_id, right_id) pairs within `km`,
     as a cell equi-join instead of a cross join (the geospatial range-join
@@ -97,54 +195,29 @@ def within_distance_join(
     left(left_id, lat, lon) x right(right_id, lat, lon) ->
     (left_id, right_id, dist_km_e3).
 
-    Completeness: the left side explodes to every cell whose rectangle can
-    contain a point within `km` — ±ceil(km/(111*step)) lat cells and
-    ±ceil(km/(111*cos(max_abs_lat)*step)) lon cells (equal-angle grid: lon
-    ground distance shrinks with |lat|, so the lon ring is sized for the
-    worst latitude the data may contain). An exact haversine verifies, so
-    precision is exact and recall is total for |lat| <= max_abs_lat.
+    Candidate generation is :func:`within_distance_candidate_cells` —
+    per-row spherical-cap ring sizing, so recall is total at every latitude
+    (over-the-pole pairs included) and equatorial rows pay only the handful
+    of cells their own latitude requires instead of a global worst case.
+    ``max_abs_lat`` is accepted for API compatibility and ignored: per-row
+    sizing needs no data-extent hint.
     """
-    import math
-
     if res is None:
         # coarsest-useful cells: edge >= km/2 keeps the ring rectangle small
         # (a fine grid at a large radius explodes the per-point cell count)
         res = 0
         while res < 10 and cells.hexlite_step(res + 1) * 111.0 >= km / 2.0:
             res += 1
-    step = cells.hexlite_step(res)
-    n_lat, n_lon = cells.hexlite_dims(res)
-    header = (cells.HEXLITE_MODE << 60) | (res << 56)
-    lat_ring = math.ceil(km / (111.0 * step)) + 1
-    # lon ground distance shrinks with |lat|; clamp to the full circle
-    lon_ring = min(
-        math.ceil(km / (111.0 * math.cos(math.radians(max_abs_lat)) * step)) + 1,
-        n_lon // 2,
-    )
 
     r = right.select(
         "right_id", F.col("lat").alias("rlat"), F.col("lon").alias("rlon"),
         cells.hexlite_cell_col(F.col("lat"), F.col("lon"), res).alias("cell"),
     )
     l = left.select(
-        "left_id", F.col("lat").alias("llat"), F.col("lon").alias("llon"),
-        cells.hexlite_cell_col(F.col("lat"), F.col("lon"), res).alias("lcell"),
-    )
-    lat_idx = F.shiftright("lcell", 28).bitwiseAND(F.lit((1 << 28) - 1))
-    lon_idx = F.col("lcell").bitwiseAND(F.lit((1 << 28) - 1))
-    ring_cells = F.array(
-        *[
-            F.when(
-                (lat_idx + di >= 0) & (lat_idx + di < n_lat),
-                F.lit(header) + F.shiftleft(lat_idx + di, 28) + F.pmod(lon_idx + dj, F.lit(n_lon)),
-            )
-            for di in range(-lat_ring, lat_ring + 1)
-            for dj in range(-lon_ring, lon_ring + 1)
-        ]
-    )
-    l = l.select(
-        "left_id", "llat", "llon",
-        F.explode(F.array_distinct(F.filter(ring_cells, lambda c: c.isNotNull()))).alias("cell"),
+        F.col("left_id"), F.col("lat").alias("llat"), F.col("lon").alias("llon"),
+        F.explode(
+            within_distance_candidate_cells(F.col("lat"), F.col("lon"), km, res)
+        ).alias("cell"),
     )
     dist = haversine_km_col(F.col("llat"), F.col("llon"), F.col("rlat"), F.col("rlon"))
     return (
