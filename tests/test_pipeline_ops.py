@@ -73,6 +73,46 @@ def test_jaccard_pairs_match_python_oracle(spark):
     assert got == {(0, 1): expect}
 
 
+def test_jaccard_block_guard_routes_hot_blocks(spark, caplog):
+    """Per-block guard (round-2 verdict carry): a pathological block above
+    max_block_docs must be routed to the MinHash-banded path (log-visible),
+    cold blocks stay exact, precision stays exact everywhere, and the very
+    similar hot-block pairs are still found."""
+    import logging
+
+    rows = []
+    # hot block: 40 docs, same lang+bucket; 20 near-identical pairs
+    for i in range(20):
+        base = f"shared hot block sentence number {i} with many common words"
+        rows.append((100 + 2 * i, "en", base))
+        rows.append((101 + 2 * i, "en", base + " tail"))
+    # cold block: one clear pair in another language
+    rows += [(0, "de", "kalter block eins zwei drei vier"),
+             (1, "de", "kalter block eins zwei drei vier fuenf")]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+    unguarded = {(r["doc_a"], r["doc_b"]): r["jaccard_e4"]
+                 for r in dedup.token_jaccard_pairs(df, threshold=0.5, bucket_chars=10000).collect()}
+    with caplog.at_level(logging.WARNING, logger="wikibrain_spark.dedup"):
+        guarded = {(r["doc_a"], r["doc_b"]): r["jaccard_e4"]
+                   for r in dedup.token_jaccard_pairs(
+                       df, threshold=0.5, bucket_chars=10000, max_block_docs=10).collect()}
+    assert any("max_block_docs" in m for m in caplog.messages), "routing not logged"
+    # precision + same similarity definition: guarded ⊆ unguarded, same values
+    assert set(guarded) <= set(unguarded)
+    assert all(unguarded[p] == v for p, v in guarded.items())
+    # cold block untouched
+    assert (0, 1) in guarded
+    # hot-block recall: the deliberate near-identical pairs all survive LSH
+    expected_hot = {(100 + 2 * i, 101 + 2 * i) for i in range(20)}
+    assert expected_hot <= set(guarded)
+    # guard with a high threshold must be a no-op (no hot blocks)
+    noop = {(r["doc_a"], r["doc_b"]): r["jaccard_e4"]
+            for r in dedup.token_jaccard_pairs(
+                df, threshold=0.5, bucket_chars=10000, max_block_docs=1000).collect()}
+    assert noop == unguarded
+
+
 def test_minhash_lsh_finds_near_dups_and_verifies(spark):
     base = "the quick brown fox jumps over the lazy dog and runs far away "
     rows = [(0, "en", base), (1, "en", base + "again"), (2, "en", "zzz totally unrelated qqq www")]

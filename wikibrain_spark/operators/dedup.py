@@ -17,9 +17,13 @@ Scale design:
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+_LOG = logging.getLogger("wikibrain_spark.dedup")
 
 # 31-bit Mersenne prime: a*h stays < 2^62, safe under ANSI int64 arithmetic
 MERSENNE = (1 << 31) - 1
@@ -46,39 +50,112 @@ def char_ngrams(text: Column, n: int = 3) -> Column:
     )
 
 
+def _blocked_jaccard_core(
+    d: DataFrame, threshold: float, max_block_docs: int | None
+) -> DataFrame:
+    """Shared core of the two exact-Jaccard operators. `d` carries
+    (doc_id, lang, lbucket, items) with `items` a distinct sorted array.
+
+    Without a guard the (lang, lbucket) blocked self-join is quadratic in
+    the hottest block. With ``max_block_docs`` set, a count pre-pass splits
+    blocks: cold blocks keep the exact all-pairs-in-block join; hot blocks
+    are routed through a MinHash-banded candidate join over the SAME item
+    sets and blocking keys, verified with the SAME exact Jaccard — so
+    precision and the similarity definition are unchanged everywhere, and
+    only recall inside oversized blocks becomes probabilistic (the standard
+    LSH trade, made explicit by a logged routing decision). This bounds the
+    join safely by construction: no block can go quadratic."""
+    inter = F.size(F.array_intersect("a.items", "b.items"))
+    sa, sb = F.size(F.col("a.items")), F.size(F.col("b.items"))
+    union = sa + sb - inter  # items arrays are distinct: |A|+|B|-|A∩B|
+    jac = inter / union
+    out_cols = [
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.floor(jac * 10000).cast("long").alias("jaccard_e4"),
+    ]
+    # J <= min/max of set sizes: prune before the set algebra
+    size_prune = F.least(sa, sb) >= F.lit(threshold) * F.greatest(sa, sb)
+    block_cond = (
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.lbucket") == F.col("b.lbucket"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & size_prune
+    )
+
+    if max_block_docs is None:
+        return (
+            d.alias("a").join(d.alias("b"), block_cond).where(jac >= threshold).select(*out_cols)
+        )
+
+    sizes = d.groupBy("lang", "lbucket").agg(F.count("*").alias("_bsz"))
+    hot = sizes.where(F.col("_bsz") > max_block_docs).collect()  # metadata scale
+    dd = d.join(F.broadcast(sizes), ["lang", "lbucket"])
+    cold = dd.where(F.col("_bsz") <= max_block_docs).drop("_bsz")
+    exact = (
+        cold.alias("a").join(cold.alias("b"), block_cond).where(jac >= threshold).select(*out_cols)
+    )
+    if not hot:
+        return exact
+    _LOG.warning(
+        "jaccard blocked self-join: %d block(s) exceed max_block_docs=%d and are "
+        "routed to the MinHash-banded path (exact verify, probabilistic recall): %s",
+        len(hot), max_block_docs,
+        [(r["lang"], r["lbucket"], r["_bsz"]) for r in hot[:10]],
+    )
+    n_perms, n_bands = 16, 8
+    rows_per_band = n_perms // n_bands
+    hotd = (
+        dd.where(F.col("_bsz") > max_block_docs)
+        .drop("_bsz")
+        .withColumn("_h", F.transform("items", lambda it: F.pmod(F.xxhash64(it), F.lit(MERSENNE))))
+        .withColumn("_sig", minhash_from_hashes(F.col("_h"), n_perms))
+        .select(
+            "doc_id", "lang", "lbucket", "items",
+            F.posexplode(
+                F.array(*[
+                    F.slice("_sig", i * rows_per_band + 1, rows_per_band)
+                    for i in range(n_bands)
+                ])
+            ).alias("band_id", "band_sig"),
+        )
+    )
+    band_cond = (
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.lbucket") == F.col("b.lbucket"))
+        & (F.col("a.band_id") == F.col("b.band_id"))
+        & (F.col("a.band_sig") == F.col("b.band_sig"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & size_prune
+    )
+    hot_pairs = (
+        hotd.alias("a")
+        .join(hotd.alias("b"), band_cond)
+        .select(*out_cols, jac.alias("_jac"))
+        .where(F.col("_jac") >= threshold)
+        .drop("_jac")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return exact.unionByName(hot_pairs)
+
+
 def jaccard_pairs(
     documents: DataFrame,
     threshold: float = 0.5,
     n: int = 3,
     bucket_chars: int = 100,
     text_col: str = "text",
+    max_block_docs: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by exact n-gram Jaccard within (lang, length-
-    bucket) blocks: (doc_a, doc_b, jaccard_e4)."""
+    bucket) blocks: (doc_a, doc_b, jaccard_e4). ``max_block_docs`` routes
+    oversized blocks to a MinHash-banded path (see _blocked_jaccard_core)."""
     d = documents.select(
         "doc_id", F.col("lang"),
         (F.floor(F.length(text_col) / bucket_chars)).alias("lbucket"),
-        char_ngrams(F.col(text_col), n).alias("grams"),
+        char_ngrams(F.col(text_col), n).alias("items"),
     )
-    a = d.alias("a")
-    b = d.alias("b")
-    sa, sb = F.size(F.col("a.grams")), F.size(F.col("b.grams"))
-    pairs = a.join(
-        b,
-        (F.col("a.lang") == F.col("b.lang"))
-        & (F.col("a.lbucket") == F.col("b.lbucket"))
-        & (F.col("a.doc_id") < F.col("b.doc_id"))
-        # J <= min/max of set sizes: prune before the set algebra
-        & (F.least(sa, sb) >= F.lit(threshold) * F.greatest(sa, sb)),
-    )
-    inter = F.size(F.array_intersect("a.grams", "b.grams"))
-    union = F.size(F.array_union("a.grams", "b.grams"))
-    jac = inter / union
-    return pairs.where(jac >= threshold).select(
-        F.col("a.doc_id").alias("doc_a"),
-        F.col("b.doc_id").alias("doc_b"),
-        F.floor(jac * 10000).cast("long").alias("jaccard_e4"),
-    )
+    return _blocked_jaccard_core(d, threshold, max_block_docs)
 
 
 def token_jaccard_pairs(
@@ -86,35 +163,19 @@ def token_jaccard_pairs(
     threshold: float = 0.3,
     bucket_chars: int = 200,
     text_col: str = "text",
+    max_block_docs: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by distinct-token Jaccard within (lang, length-
     bucket) blocks: (doc_a, doc_b, jaccard_e4). Token-set variant of
     jaccard_pairs; its set algebra is expressible in ANSI SQL for the
-    oracle gate."""
+    oracle gate. ``max_block_docs`` routes oversized blocks to a
+    MinHash-banded path (see _blocked_jaccard_core)."""
     d = documents.select(
         "doc_id", F.col("lang"),
         (F.floor(F.length(text_col) / bucket_chars)).alias("lbucket"),
-        F.array_sort(F.array_distinct(F.split(F.trim(F.col(text_col)), "\\s+", -1))).alias("toks"),
+        F.array_sort(F.array_distinct(F.split(F.trim(F.col(text_col)), "\\s+", -1))).alias("items"),
     )
-    a = d.alias("a")
-    b = d.alias("b")
-    sa, sb = F.size(F.col("a.toks")), F.size(F.col("b.toks"))
-    pairs = a.join(
-        b,
-        (F.col("a.lang") == F.col("b.lang"))
-        & (F.col("a.lbucket") == F.col("b.lbucket"))
-        & (F.col("a.doc_id") < F.col("b.doc_id"))
-        # J <= min/max of set sizes: prune before the set algebra
-        & (F.least(sa, sb) >= F.lit(threshold) * F.greatest(sa, sb)),
-    )
-    inter = F.size(F.array_intersect("a.toks", "b.toks"))
-    union = F.size("a.toks") + F.size("b.toks") - inter
-    jac = inter / union
-    return pairs.where(jac >= threshold).select(
-        F.col("a.doc_id").alias("doc_a"),
-        F.col("b.doc_id").alias("doc_b"),
-        F.floor(jac * 10000).cast("long").alias("jaccard_e4"),
-    )
+    return _blocked_jaccard_core(d, threshold, max_block_docs)
 
 
 def _perm_params(n_perms: int, seed: int = 42) -> list[tuple[int, int]]:
@@ -241,7 +302,11 @@ def simhash64_col(text: Column) -> Column:
 
     All-JVM replacement for the former per-token Python md5 kernel (the
     slowest dedup op in BENCH_r01); the bit-hash function is xxhash64 rather
-    than md5 — simhash is hash-function agnostic, determinism is preserved."""
+    than md5 — simhash is hash-function agnostic, determinism is preserved.
+
+    Empty/whitespace-only documents hash to 0, preserving the removed
+    Python kernel's convention (split('') yields [''] — without the guard
+    empty docs would share the nonzero hash of the empty-string token)."""
     hashes = F.transform(
         F.array_distinct(F.split(F.lower(F.trim(text)), "\\s+", -1)),
         lambda t: F.xxhash64(t),
@@ -266,7 +331,7 @@ def simhash64_col(text: Column) -> Column:
     # assemble sign bits with bitwise OR; bit 63's weight is the int64 sign
     # bit, representable only as the negative literal -(2^63)
     pows = [1 << k for k in range(63)] + [-(2 ** 63)]
-    return F.aggregate(
+    folded = F.aggregate(
         F.zip_with(
             acc,
             F.lit(pows).cast("array<long>"),
@@ -275,6 +340,7 @@ def simhash64_col(text: Column) -> Column:
         F.lit(0).cast("long"),
         lambda a, x: a.bitwiseOR(x),
     )
+    return F.when(F.trim(text) == "", F.lit(0).cast("long")).otherwise(folded)
 
 
 def simhash64(documents: DataFrame, text_col: str = "text") -> DataFrame:
@@ -295,16 +361,23 @@ def _chunk_bounds(n_chunks: int) -> list[tuple[int, int]]:
 
 
 def simhash_near_pairs(documents: DataFrame, max_hamming: int = 3, text_col: str = "text") -> DataFrame:
-    """ALL pairs with hamming <= max_hamming, by pigeonhole banding into
-    max_hamming+1 bit chunks (if at most max_hamming bits differ, at least
-    one of max_hamming+1 chunks is identical -> the pair meets in a bucket),
-    verified by exact popcount. Returns (doc_a, doc_b, hamming).
+    """ALL pairs with hamming <= max_hamming over simhash64 signatures.
+    Returns (doc_a, doc_b, hamming)."""
+    return simhash_pairs_from_signatures(simhash64(documents, text_col), max_hamming)
+
+
+def simhash_pairs_from_signatures(sh: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """ALL (doc_id, simhash) pairs with hamming <= max_hamming, by pigeonhole
+    banding into max_hamming+1 bit chunks (if at most max_hamming bits
+    differ, at least one of max_hamming+1 chunks is identical -> the pair
+    meets in a bucket), verified by exact popcount. Deterministic with FULL
+    recall at the radius — exactly SQL-specifiable (the driver oracle
+    enumerates the same pair set from staged signatures via xor+bit_count).
 
     Scale shape: the join is an equi-join on (chunk_id, chunk) buckets —
     never all-pairs; candidate volume is governed by chunk width
     (64/(max_hamming+1) bits)."""
     n_chunks = max_hamming + 1
-    sh = simhash64(documents, text_col)
     chunk_exprs = [
         F.shiftrightunsigned("simhash", s).bitwiseAND(F.lit((1 << w) - 1))
         for s, w in _chunk_bounds(n_chunks)
