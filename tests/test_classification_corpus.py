@@ -47,6 +47,11 @@ def test_corpus_size_at_reference_cardinality(corpus):
     want, _ = corpus
     assert len(want) >= 400  # round-1 verdict 'next #2' done-bar
     assert (want["expected_error_id"].notna()).sum() >= 90
+    # round-2 verdict 'next #5': >= 50 adversarial topology cases (diamonds,
+    # hubs, ignore bypasses, broad/specific conflicts, min-qid tie-break
+    # pins, deep/pruned ambiguity, entity-level skips, P279 cycles)
+    adv = want["tags"].apply(lambda t: t["wikidata"].startswith("Q99") and len(t["wikidata"]) >= 8)
+    assert adv.sum() >= 50
 
 
 def test_every_classification_case(corpus):
