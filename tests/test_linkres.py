@@ -82,6 +82,9 @@ def test_expected_language_issues(spark, dims):
         # no P17 at all -> NOT allowed (:2667-2669 returns None)
         (4, {"wikipedia": "de:Sache Fuenf", "wikidata": "Q555005"},
          "wikipedia tag unexpected language"),
+        # first foreign country has NO English label on Wikidata -> allowed
+        # (:2673-2675; the label check precedes the Q7318 carve-out)
+        (5, {"wikipedia": "de:Sache Sechs", "wikidata": "Q555006"}, None),
     ]
     elements = spark.createDataFrame(
         [(i, "node", tags, 52.0, 20.0) for i, tags, _ in cases],

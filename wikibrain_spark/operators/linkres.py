@@ -892,15 +892,18 @@ def _disambig_fix_lists(cand: DataFrame, dims: WikiDims, facts: DataFrame, bcast
     links = dims.disambig_links.where(F.col("ns") == 0).select(  # ns=0 only, :1358-1360
         F.col("lang").alias("d_lang"), F.col("title").alias("d_title"), "out_title"
     )
-    c = c.join(F.broadcast(links), ["d_lang", "d_title"], "left")
+    # same size gate as the facts joins: at snapshot scale these dims are
+    # tens of millions of rows — broadcasting them unconditionally would
+    # materialize them on the driver (round-2 advice)
+    c = c.join(_maybe_broadcast(links, bcast), ["d_lang", "d_title"], "left")
     pages = dims.pages.select(
         F.col("lang").alias("d_lang"), F.col("title").alias("out_title"), F.col("qid").alias("out_qid")
     )
-    c = c.join(F.broadcast(pages), ["d_lang", "out_title"], "left")
+    c = c.join(_maybe_broadcast(pages, bcast), ["d_lang", "out_title"], "left")
     locs = dims.wikidata.select(
         F.col("qid").alias("out_qid"), F.col("lat").alias("o_lat"), F.col("lon").alias("o_lon")
     )
-    c = c.join(F.broadcast(locs), "out_qid", "left")
+    c = c.join(_maybe_broadcast(locs, bcast), "out_qid", "left")
     dist = haversine_km_col(F.col("lat"), F.col("lon"), F.col("o_lat"), F.col("o_lon"))
     # distance_in_km_to_string (:1362-1366) + description (:1378-1385)
     desc = (
@@ -1211,16 +1214,26 @@ def resolve(elements: DataFrame, dims: WikiDims, cfg: ResolveConfig | None = Non
         recommended = F.col("eff_sitelink_expected")
         # why_object_is_allowed_to_have_foreign_language_label (:2657-2682):
         # allowed iff no wikidata entry, OR the FIRST current (non-P582)
-        # country outside the enforced set exists and is not Q7318 (the
-        # reference's Nazi-Germany carve-out, :2676-2680). Missing or empty
-        # P17 -> NOT allowed (:2667-2669 returns None).
+        # country outside the enforced set exists AND (it has no English
+        # label on Wikidata (:2673-2675) OR it is not Q7318 — the reference's
+        # Nazi-Germany carve-out, :2676-2680; the label check precedes the
+        # Q7318 check, so a label-less Q7318 is still allowed). Missing or
+        # empty P17 -> NOT allowed (:2667-2669 returns None).
         foreign = F.filter(
             F.coalesce("eff_countries", F.array().cast("array<string>")),
             lambda cq: ~cq.isin(enforced or ["__none__"]),
         )
+        base = base.withColumn("__ff_qid", F.try_element_at(foreign, F.lit(1)))
+        ff_labels = dims.wikidata.where(F.col("label_en").isNotNull()).select(
+            F.col("qid").alias("__ff_qid"), F.lit(True).alias("__ff_has_label")
+        )
+        base = base.join(_maybe_broadcast(ff_labels, bcast), "__ff_qid", "left")
         allowed_foreign = (
             F.col("effective_wd").isNull()
-            | ((F.size(foreign) > 0) & (F.element_at(foreign, 1) != "Q7318"))
+            | (
+                (F.size(foreign) > 0)
+                & (F.col("__ff_has_label").isNull() | (F.col("__ff_qid") != "Q7318"))
+            )
         )
         good_link = F.concat(F.lit(cfg.expected_language_code), F.lit(":"), recommended)  # :1245
         lang_proposed = _chg(_m(("wikipedia", F.col("wikipedia"))), _m(("wikipedia", good_link)))

@@ -196,6 +196,14 @@ def generate_wikidata_dim() -> dict[str, pd.DataFrame]:
         ("Q555003", "Cebuano Place", {"ceb": "Cebuano Place"}, (10.0, 123.0)),
         ("Q555004", "Nazi-era Thing", {"pl": "Rzecz Cztery", "de": "Sache Vier"}, (51.0, 16.0)),
         ("Q555005", "Countryless Thing", {"pl": "Rzecz Piec", "de": "Sache Fuenf"}, (51.5, 16.5)),
+        ("Q555006", "Label-less-country Thing", {"pl": "Rzecz Szesc", "de": "Sache Sechs"}, (51.2, 16.2)),
+        # country entities with English labels (the allowed-foreign check
+        # consults get_wikidata_label(country, 'en'), reference :2673-2675;
+        # Q9955500 is deliberately ABSENT from this table = label-less)
+        ("Q36", "Poland", {}, None),
+        ("Q183", "Germany", {}, None),
+        ("Q7318", "Nazi Germany", {}, None),
+        ("Q928", "Philippines", {}, None),
         ("Q555010", "Savazza-like redirect item", {"it": "Savazza2"}, None),
     ]
     wikidata = pd.DataFrame(
@@ -261,6 +269,7 @@ def generate_wikidata_dim() -> dict[str, pd.DataFrame]:
             _c("Q555003", "P17", vq="Q928"),                          # Philippines
             _c("Q555004", "P17", vq="Q7318"),                         # Nazi Germany (current!) -> NOT allowed-foreign
             # Q555005: no P17 at all -> NOT allowed-foreign (:2667-2669)
+            _c("Q555006", "P17", vq="Q9955500"),  # country with no EN label -> allowed (:2673-2675)
         ]
     )
     redirects = pd.DataFrame([("Q99100", "Q100")], columns=["from_qid", "to_qid"])
@@ -289,6 +298,8 @@ def generate_wikidata_dim() -> dict[str, pd.DataFrame]:
             ("de", "Sache Vier", "Q555004"),
             ("pl", "Rzecz Piec", "Q555005"),
             ("de", "Sache Fuenf", "Q555005"),
+            ("pl", "Rzecz Szesc", "Q555006"),
+            ("de", "Sache Sechs", "Q555006"),
             ("it", "Savazza2", "Q555010"),  # redirect page WITH its own item
             ("en", "Megapolis City", None),  # redirect page exists, no own item
         ],
