@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -148,11 +149,43 @@ class ResolveConfig:
     # (e.g. a full Wikidata snapshot, ~100M QIDs) fall back to a shuffle
     # hash join on qid so the driver never materializes the dim
     facts_broadcast_threshold: int = 10_000_000
+    # distance kernel for the 20 km headquarters check (J13):
+    # 'haversine' (default; native expression, whole-stage codegen, the
+    # oracle-matching kernel) or 'ellipsoidal' (WGS-84 Vincenty pandas UDF —
+    # Karney/geopy-parity at reference thresholds, geo/geodesic.py)
+    geodesic_kernel: str = "haversine"
 
 
 # =====================================================================
 # per-QID facts (computed once per distinct QID, broadcast to elements)
 # =====================================================================
+
+@F.pandas_udf("boolean")
+def _any_hq_far_ellipsoidal(
+    lat: pd.Series, lon: pd.Series, hq_lats: pd.Series, hq_lons: pd.Series
+) -> pd.Series:
+    """Any P159 location > 20 km away under the WGS-84 ellipsoidal kernel
+    (geo/geodesic.ellipsoidal_km — Karney-parity at this scale). Arrow-
+    batched; the per-row hq lists are flattened so the kernel runs once,
+    vectorized, over the whole batch."""
+    import numpy as np
+
+    from wikibrain_spark.geo.geodesic import ellipsoidal_km
+
+    lens = np.array([0 if a is None else len(a) for a in hq_lats], dtype=np.int64)
+    out = np.zeros(len(lat), dtype=bool)
+    if lens.sum() > 0:
+        idx = np.repeat(np.arange(len(lat)), lens)
+        flat_la = np.concatenate([np.asarray(a, dtype=np.float64) for a in hq_lats if a is not None and len(a)])
+        flat_lo = np.concatenate([np.asarray(a, dtype=np.float64) for a in hq_lons if a is not None and len(a)])
+        la = lat.to_numpy(dtype=np.float64)[idx]
+        lo = lon.to_numpy(dtype=np.float64)[idx]
+        ok = ~(np.isnan(la) | np.isnan(lo))
+        far = np.zeros(len(idx), dtype=bool)
+        far[ok] = ellipsoidal_km(la[ok], lo[ok], flat_la[ok], flat_lo[ok]) > 20.0
+        np.logical_or.at(out, idx, far)
+    return pd.Series(out)
+
 
 def best_interwiki(dims: WikiDims, cfg: ResolveConfig) -> DataFrame:
     """(qid, best_link 'lang:title') — first language in (preference list +
@@ -1158,13 +1191,19 @@ def resolve(elements: DataFrame, dims: WikiDims, cfg: ResolveConfig | None = Non
     # headquarters distance (:1880-1895): any P159 location > 20 km away.
     # Gated on reducible_to_point (P2): a route relation or river has no
     # single location, so its anchor coordinate must not drive the check
+    if cfg.geodesic_kernel == "haversine":
+        hq_any_far = F.exists(
+            F.zip_with("eff_hq_lats", "eff_hq_lons", lambda a, b: F.struct(a.alias("la"), b.alias("lo"))),
+            lambda s: haversine_km_col(F.col("lat"), F.col("lon"), s["la"], s["lo"]) > 20,
+        )
+    else:  # 'ellipsoidal': Karney-parity WGS-84 kernel (geo/geodesic.py)
+        hq_any_far = _any_hq_far_ellipsoidal(
+            F.col("lat"), F.col("lon"), F.col("eff_hq_lats"), F.col("eff_hq_lons")
+        )
     hq_far = F.when(
         reducible_to_point()
         & F.col("lat").isNotNull() & F.col("eff_hq_lats").isNotNull() & ~F.col("eff_has_area"),
-        F.exists(
-            F.zip_with("eff_hq_lats", "eff_hq_lons", lambda a, b: F.struct(a.alias("la"), b.alias("lo"))),
-            lambda s: haversine_km_col(F.col("lat"), F.col("lon"), s["la"], s["lo"]) > 20,
-        ),
+        hq_any_far,
     ).otherwise(F.lit(False))
     hq_err = F.when(
         hq_far,
