@@ -44,6 +44,8 @@ def main() -> None:
         ("flagship geotag→PIP→tiles (native zero-Python path)", "flagship_native_sec"),
         ("full image decode + stats", "decode_stats_sec"),
         ("lineitem group-agg (sf0.1)", "lineitem_agg_sec"),
+        ("native PIP, 3000 polygons, one-row dim (100k pts)", "pip3000_native_sec"),
+        ("native PIP, 3000 polygons, cell-prefiltered (2M pts)", "pip3000_prefilter_sec"),
         ("Arrow-channel probe (identity mapInPandas)", "channel_probe_sec"),
     ]
     lines = [
@@ -78,6 +80,15 @@ def main() -> None:
         f"| flagship (native) rows/sec | {lo['flagship_native_rows_per_sec']} | {hi['flagship_native_rows_per_sec']} |",
         f"| decode rows/sec | {lo['decode_rows_per_sec']} | {hi['decode_rows_per_sec']} |",
         f"| channel probe rows/sec | {lo['channel_probe_rows_per_sec']} | {hi['channel_probe_rows_per_sec']} |",
+        f"| PIP 3000-poly one-row-dim pts/sec | {lo['pip3000_native_rows_per_sec']} | {hi['pip3000_native_rows_per_sec']} |",
+        f"| PIP 3000-poly prefiltered pts/sec | {lo['pip3000_prefilter_rows_per_sec']} | {hi['pip3000_prefilter_rows_per_sec']} |",
+        "",
+        "At 3000 polygons (10x the 300-polygon pytest pin) the cell-prefiltered",
+        "native dim is the designated configuration: on the SAME 100k-point",
+        f"workload it takes {hi['pip3000_prefilter_same_sec']}s vs {hi['pip3000_native_sec']}s",
+        f"for the one-row dim at local[{LEVELS[1]}] (per-point work drops from",
+        "O(all polygons) to O(cell candidates)); its scaling row above is",
+        "measured at 20x the points so it stays compute-bound.",
         "",
         "Reading the numbers: compute-bound jobs (full image decode; the",
         "replicated lineitem hash aggregation) carry the scaling-efficiency",

@@ -126,6 +126,50 @@ def main() -> None:
              F.count("*").alias("n"))
     )
 
+    # --- native PIP at 10x polygons (3000 x 24 edges; round-2 verdict #8):
+    # the one-row-dim fold is O(all polygons) per point, so 3000 polygons is
+    # the regime where the cell-prefiltered dim (per-cell polygon subsets,
+    # broadcast hash equi-join on the point's cell) must win outright
+    import numpy as np
+
+    rngp = np.random.default_rng(123)
+    n_poly = 3000
+    cla = rngp.uniform(-80, 80, n_poly)
+    clo = rngp.uniform(-175, 175, n_poly)
+    rad = rngp.uniform(0.3, 1.5, n_poly)
+    ang = np.linspace(0, 2 * np.pi, 24, endpoint=False)
+    polys = spark.createDataFrame(
+        [(int(i), (cla[i] + rad[i] * np.sin(ang)).tolist(),
+          (clo[i] + rad[i] * np.cos(ang)).tolist()) for i in range(n_poly)],
+        "boundary_id long, ring_lat array<double>, ring_lon array<double>",
+    )
+
+    from wikibrain_spark.operators import spatial_join as _sj
+
+    def _pts(n_pts: int):
+        return spark.range(n_pts).repartition(cpus * 4).select(
+            F.concat(F.lit("p"), "id").alias("image_id"),
+            (F.pmod(F.col("id") * 37, 160000) / 1000.0 - 80).alias("lat"),
+            (F.pmod(F.col("id") * 91, 350000) / 1000.0 - 175).alias("lon"),
+        )
+
+    n_unpref, n_pref = 100_000, 2_000_000
+    res["pip3000_points_unpref"] = n_unpref
+    res["pip3000_points_pref"] = n_pref
+    res["pip3000_native_sec"] = timed(
+        lambda: _sj.broadcast_pip_join_native(_pts(n_unpref), polys)
+    )
+    # same workload, prefiltered: the absolute-time comparison
+    res["pip3000_prefilter_same_sec"] = timed(
+        lambda: _sj.broadcast_pip_join_native(_pts(n_unpref), polys, cell_prefilter_res=2)
+    )
+    # 20x the points, prefiltered: the scaling-efficiency row (compute-bound)
+    res["pip3000_prefilter_sec"] = timed(
+        lambda: _sj.broadcast_pip_join_native(_pts(n_pref), polys, cell_prefilter_res=2)
+    )
+    res["pip3000_native_rows_per_sec"] = round(n_unpref / res["pip3000_native_sec"], 1)
+    res["pip3000_prefilter_rows_per_sec"] = round(n_pref / res["pip3000_prefilter_sec"], 1)
+
     print(json.dumps(res))
     spark.stop()
 

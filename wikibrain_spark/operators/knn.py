@@ -33,10 +33,6 @@ def knn_bruteforce(queries: DataFrame, places: DataFrame, k: int = 3) -> DataFra
     )
 
 
-def _ring_offsets(kr: int) -> list[tuple[int, int]]:
-    return [(di, dj) for di in range(-kr, kr + 1) for dj in range(-kr, kr + 1)]
-
-
 def knn_kring(
     queries: DataFrame, places: DataFrame, k: int = 3, res: int = 2, ring: int = 1
 ) -> DataFrame:
@@ -45,6 +41,12 @@ def knn_kring(
     caller picks (res, ring) from place density (tested vs brute force)."""
     n_lat, n_lon = cells.hexlite_dims(res)
     header = (cells.HEXLITE_MODE << 60) | (res << 56)
+    step = cells.hexlite_step(res)
+    # non-divisible grids have one narrower seam cell at the antimeridian;
+    # widen the lon ring by 1 there so a neighborhood spanning the seam
+    # still covers the same ground distance (same margin as
+    # within_distance_candidate_cells)
+    lon_ring = ring if abs(n_lon * step - 360.0) < 1e-9 else ring + 1
 
     p = places.select(
         "place_id", F.col("lat").alias("plat"), F.col("lon").alias("plon"),
@@ -64,7 +66,8 @@ def knn_kring(
                 + F.shiftleft(lat_idx + di, 28)
                 + F.pmod(lon_idx + dj, F.lit(n_lon)),
             )
-            for di, dj in _ring_offsets(ring)
+            for di in range(-ring, ring + 1)
+            for dj in range(-lon_ring, lon_ring + 1)
         ]
     )
     q = q.select(

@@ -160,14 +160,14 @@ class ResolveConfig:
 # per-QID facts (computed once per distinct QID, broadcast to elements)
 # =====================================================================
 
-@F.pandas_udf("boolean")
-def _any_hq_far_ellipsoidal(
+def _any_hq_far_ellipsoidal_kernel(
     lat: pd.Series, lon: pd.Series, hq_lats: pd.Series, hq_lons: pd.Series
 ) -> pd.Series:
     """Any P159 location > 20 km away under the WGS-84 ellipsoidal kernel
     (geo/geodesic.ellipsoidal_km — Karney-parity at this scale). Arrow-
     batched; the per-row hq lists are flattened so the kernel runs once,
-    vectorized, over the whole batch."""
+    vectorized, over the whole batch. Wrapped with pandas_udf lazily at the
+    call site (the decorator needs an active SparkSession)."""
     import numpy as np
 
     from wikibrain_spark.geo.geodesic import ellipsoidal_km
@@ -1197,7 +1197,7 @@ def resolve(elements: DataFrame, dims: WikiDims, cfg: ResolveConfig | None = Non
             lambda s: haversine_km_col(F.col("lat"), F.col("lon"), s["la"], s["lo"]) > 20,
         )
     else:  # 'ellipsoidal': Karney-parity WGS-84 kernel (geo/geodesic.py)
-        hq_any_far = _any_hq_far_ellipsoidal(
+        hq_any_far = F.pandas_udf(_any_hq_far_ellipsoidal_kernel, "boolean")(
             F.col("lat"), F.col("lon"), F.col("eff_hq_lats"), F.col("eff_hq_lons")
         )
     hq_far = F.when(
