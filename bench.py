@@ -93,8 +93,8 @@ def main() -> None:
     headline = [
         "q_pricing_summary", "q_top_customer_revenue", "q_order_priority_window",
         "q_cells_r7", "q_tile_stats", "q_pip_rectangles", "q_pip_shuffle_salted",
-        "q_knn", "q_closure", "q_doc_stats", "q_dedup_exact",
-        "q_ann_topk", "q_malformed_check", "q_apply_changes",
+        "q_knn", "q_knn_kring", "q_within_distance", "q_closure", "q_doc_stats",
+        "q_dedup_exact", "q_ann_topk", "q_malformed_check", "q_apply_changes",
     ]
     qs = em.queries()
     for name in headline:

@@ -147,28 +147,58 @@ def main() -> None:
     from wikibrain_spark.operators import spatial_join as _sj
 
     def _pts(n_pts: int):
-        return spark.range(n_pts).repartition(cpus * 4).select(
+        # cached + counted before timing, like the image/lineitem inputs:
+        # the measurement must cover the PIP kernel, not point synthesis
+        # (an on-the-fly range->repartition shuffle is bandwidth-bound and
+        # was dominating the prefiltered timing)
+        df = spark.range(n_pts).repartition(cpus * 4).select(
             F.concat(F.lit("p"), "id").alias("image_id"),
             (F.pmod(F.col("id") * 37, 160000) / 1000.0 - 80).alias("lat"),
             (F.pmod(F.col("id") * 91, 350000) / 1000.0 - 175).alias("lon"),
-        )
+        ).cache()
+        df.count()
+        return df
 
-    n_unpref, n_pref = 100_000, 2_000_000
+    n_unpref, n_pref = 100_000, 20_000_000
     res["pip3000_points_unpref"] = n_unpref
     res["pip3000_points_pref"] = n_pref
+    pts_unpref = _pts(n_unpref)
+    pts_pref = _pts(n_pref)
     res["pip3000_native_sec"] = timed(
-        lambda: _sj.broadcast_pip_join_native(_pts(n_unpref), polys)
+        lambda: _sj.broadcast_pip_join_native(pts_unpref, polys)
     )
     # same workload, prefiltered: the absolute-time comparison
     res["pip3000_prefilter_same_sec"] = timed(
-        lambda: _sj.broadcast_pip_join_native(_pts(n_unpref), polys, cell_prefilter_res=2)
+        lambda: _sj.broadcast_pip_join_native(pts_unpref, polys, cell_prefilter_res=2)
     )
-    # 20x the points, prefiltered: the scaling-efficiency row (compute-bound)
+    # 200x the points, prefiltered: the scaling-efficiency row — at 2M points
+    # the job finished in <2s and measured scheduling overhead, not compute
     res["pip3000_prefilter_sec"] = timed(
-        lambda: _sj.broadcast_pip_join_native(_pts(n_pref), polys, cell_prefilter_res=2)
+        lambda: _sj.broadcast_pip_join_native(pts_pref, polys, cell_prefilter_res=2)
     )
     res["pip3000_native_rows_per_sec"] = round(n_unpref / res["pip3000_native_sec"], 1)
     res["pip3000_prefilter_rows_per_sec"] = round(n_pref / res["pip3000_prefilter_sec"], 1)
+
+    # copy probe: the identical cell->candidates broadcast equi-join with
+    # the PIP math removed (reads only size(polys)). In local mode every
+    # thread probes ONE shared hashed relation and copies the candidate
+    # array through ONE socket's memory system, so this term scales
+    # sub-linearly at any core count — the broadcast-join analogue of the
+    # Arrow-channel probe. prefiltered-minus-probe isolates the kernel
+    # compute the 0.8 gate is about; on a real cluster each executor holds
+    # its own copy of the broadcast and its own memory bus.
+    from wikibrain_spark.geo import cells as _cells
+
+    cell_dim = _sj.candidate_cell_dim(polys, 2)
+    probe = (
+        pts_pref.withColumn("cell", _cells.hexlite_cell_col(F.col("lat"), F.col("lon"), 2))
+        .join(F.broadcast(cell_dim), "cell", "left")
+        .select(F.size("polys").alias("k"))
+    )
+    res["pip3000_copy_probe_sec"] = timed(lambda: probe)
+    res["pip3000_kernel_sec"] = round(
+        max(res["pip3000_prefilter_sec"] - res["pip3000_copy_probe_sec"], 0.001), 3
+    )
 
     print(json.dumps(res))
     spark.stop()

@@ -120,25 +120,7 @@ def broadcast_pip_join_native(
     This is the scale configuration for large polygon sets (per-point work
     drops from O(all polygons) to O(cell candidates)).
     """
-    n = F.size("ring_lat")
-    edges = F.transform(
-        F.sequence(F.lit(0), n - 1),
-        lambda i: F.struct(
-            F.element_at("ring_lat", i + 1).alias("y0"),
-            F.element_at("ring_lon", i + 1).alias("x0"),
-            F.element_at("ring_lat", F.pmod(i + 1, n) + 1).alias("y1"),
-            F.element_at("ring_lon", F.pmod(i + 1, n) + 1).alias("x1"),
-        ),
-    )
-    poly_structs = boundaries.select(
-        "boundary_id",
-        F.struct(
-            F.col("boundary_id").alias("bid"),
-            F.array_min("ring_lat").alias("lat_min"), F.array_max("ring_lat").alias("lat_max"),
-            F.array_min("ring_lon").alias("lon_min"), F.array_max("ring_lon").alias("lon_max"),
-            edges.alias("edges"),
-        ).alias("p"),
-    )
+    poly_structs = polygon_structs(boundaries)
 
     lat, lon = F.col("lat"), F.col("lon")
 
@@ -165,12 +147,7 @@ def broadcast_pip_join_native(
         poly_dim = poly_structs.agg(F.collect_list("p").alias("polys"))  # single row
         pts = points.crossJoin(F.broadcast(poly_dim))
     else:
-        cover = polygon_cover(boundaries, cell_prefilter_res)
-        cell_dim = (
-            cover.join(poly_structs, "boundary_id")
-            .groupBy("cell")
-            .agg(F.collect_list("p").alias("polys"))
-        )
+        cell_dim = candidate_cell_dim(boundaries, cell_prefilter_res)
         pts = points.withColumn(
             "cell", cells.hexlite_cell_col(F.col("lat"), F.col("lon"), cell_prefilter_res)
         ).join(F.broadcast(cell_dim), "cell", "left")
@@ -181,6 +158,41 @@ def broadcast_pip_join_native(
         F.explode(
             F.transform(F.filter(F.col("polys"), inside), lambda s: s["bid"])
         ).alias("boundary_id"),
+    )
+
+
+def polygon_structs(boundaries: DataFrame) -> DataFrame:
+    """(boundary_id, p) where p = struct<bid, bbox, edges> — the row-data
+    polygon representation consumed by the native PIP fold."""
+    n = F.size("ring_lat")
+    edges = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.struct(
+            F.element_at("ring_lat", i + 1).alias("y0"),
+            F.element_at("ring_lon", i + 1).alias("x0"),
+            F.element_at("ring_lat", F.pmod(i + 1, n) + 1).alias("y1"),
+            F.element_at("ring_lon", F.pmod(i + 1, n) + 1).alias("x1"),
+        ),
+    )
+    return boundaries.select(
+        "boundary_id",
+        F.struct(
+            F.col("boundary_id").alias("bid"),
+            F.array_min("ring_lat").alias("lat_min"), F.array_max("ring_lat").alias("lat_max"),
+            F.array_min("ring_lon").alias("lon_min"), F.array_max("ring_lon").alias("lon_max"),
+            edges.alias("edges"),
+        ).alias("p"),
+    )
+
+
+def candidate_cell_dim(boundaries: DataFrame, res: int) -> DataFrame:
+    """(cell, polys array<struct>) — per-cell polygon candidate subsets for
+    the prefiltered native strategy (and the scaling harness's copy probe)."""
+    return (
+        polygon_cover(boundaries, res)
+        .join(polygon_structs(boundaries), "boundary_id")
+        .groupBy("cell")
+        .agg(F.collect_list("p").alias("polys"))
     )
 
 
