@@ -15,8 +15,10 @@ import pytest
 
 from wikibrain_spark.geo.geodesic import (
     WGS84_A_KM,
+    WGS84_F,
     ellipsoidal_km,
     haversine_km,
+    karney_km,
     vincenty_km,
 )
 
@@ -103,6 +105,61 @@ def test_documented_delta_at_20km_threshold():
     assert np.abs(delta).max() > 0.05
 
 
+# ------------------------------------------------------------------ karney
+# The quadrature-exact full-globe inverse (geodesic.karney_km). Anchors:
+# Vincenty agreement on its convergence set, the same analytic constants,
+# exactness on the equatorial-geodesic validity boundary (1-f)*pi, and the
+# classic Vincenty-failure pair (0,0)->(0.5,179.7), whose geographiclib
+# distance 19944.127421 km is the published GeographicLib inverse example.
+
+
+def test_karney_matches_vincenty_where_it_converges():
+    rng = np.random.default_rng(11)
+    n = 1500
+    la1 = rng.uniform(-89.9, 89.9, n)
+    lo1 = rng.uniform(-180, 180, n)
+    la2 = rng.uniform(-89.9, 89.9, n)
+    lo2 = rng.uniform(-180, 180, n)
+    dv, ok = vincenty_km(la1, lo1, la2, lo2)
+    dk = karney_km(la1, lo1, la2, lo2)
+    assert np.abs(dk[ok] - dv[ok]).max() < 1e-6  # < 1 mm
+
+
+def test_karney_analytic_anchors():
+    assert abs(karney_km(0, 0, 0, 90) - WGS84_A_KM * np.pi / 2) < 1e-9
+    assert abs(karney_km(0, 0, 90, 0) - 10001.9657293) < 1e-6  # quarter meridian
+    assert abs(karney_km(90, 0, -90, 0) - 20003.9314586) < 1e-6  # pole to pole
+    # the equatorial ANTIPODAL geodesic leaves the equator and goes over a
+    # pole: its length is the half meridian, not pi*a
+    assert abs(karney_km(0, 0, 0, 180) - 20003.9314586) < 1e-6
+    # on-equator geodesic is valid right up to (1-f)*pi
+    crit = np.degrees((1.0 - WGS84_F) * np.pi)
+    assert abs(karney_km(0, 0, 0, crit - 1e-9) - WGS84_A_KM * np.radians(crit - 1e-9)) < 1e-6
+
+
+def test_karney_covers_vincenty_failure_set():
+    dv, ok = vincenty_km([0.0], [0.0], [0.5], [179.7])
+    assert not ok.any(), "this is the classic Vincenty non-convergence pair"
+    dk = karney_km(0.0, 0.0, 0.5, 179.7)
+    assert abs(dk - 19944.127421) < 1e-3  # published GeographicLib value
+    # continuity across the astroid boundary (no fallback seam like Vincenty)
+    assert abs(dk - karney_km(0.0, 0.0, 0.5, 179.69)) < 1.0
+
+
+def test_karney_symmetry_identity_poles():
+    rng = np.random.default_rng(12)
+    la1 = rng.uniform(-90, 90, 300)
+    lo1 = rng.uniform(-180, 180, 300)
+    la2 = rng.uniform(-90, 90, 300)
+    lo2 = rng.uniform(-180, 180, 300)
+    ab = karney_km(la1, lo1, la2, lo2)
+    ba = karney_km(la2, lo2, la1, lo1)
+    assert np.abs(ab - ba).max() < 1e-9
+    assert np.abs(karney_km(la1, lo1, la1, lo1)).max() < 1e-9
+    assert karney_km(90, 0, 90, 137.5) < 1e-9  # pole: lon is degenerate
+    assert abs(karney_km(90, 10, 0, 25) - 10001.9657293) < 1e-6
+
+
 @pytest.fixture(scope="module")
 def dims(spark):
     from wikibrain_spark.operators import linkres
@@ -128,9 +185,10 @@ def dims(spark):
     )
 
 
-def test_j13_golden_under_both_kernels(spark, dims):
-    """Every golden case resolves identically under the haversine and the
-    ellipsoidal kernel (fixture HQ distances are far from the 20 km band)."""
+def test_j13_golden_under_all_kernels(spark, dims):
+    """Every golden case resolves identically under the haversine, the
+    ellipsoidal, and the karney kernel (fixture HQ distances are far from
+    the 20 km band)."""
     from wikibrain_spark.operators import linkres
     from wikibrain_spark.sources import synthetic
 
@@ -143,12 +201,14 @@ def test_j13_golden_under_both_kernels(spark, dims):
         (r["element_id"], r["error_id"])
         for r in linkres.resolve(elements, dims).select("element_id", "error_id").collect()
     }
-    ell = {
-        (r["element_id"], r["error_id"])
-        for r in linkres.resolve(
-            elements, dims, linkres.ResolveConfig(geodesic_kernel="ellipsoidal")
-        ).select("element_id", "error_id").collect()
-    }
-    assert base == ell and any(
+    for kernel in ("ellipsoidal", "karney"):
+        got = {
+            (r["element_id"], r["error_id"])
+            for r in linkres.resolve(
+                elements, dims, linkres.ResolveConfig(geodesic_kernel=kernel)
+            ).select("element_id", "error_id").collect()
+        }
+        assert base == got, f"kernel {kernel} diverged on the golden corpus"
+    assert any(
         "multiple locations" in (e or "") for _, e in base
-    ), "J13 cases must be present and identical under both kernels"
+    ), "J13 cases must be present"

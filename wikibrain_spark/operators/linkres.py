@@ -151,8 +151,10 @@ class ResolveConfig:
     facts_broadcast_threshold: int = 10_000_000
     # distance kernel for the 20 km headquarters check (J13):
     # 'haversine' (default; native expression, whole-stage codegen, the
-    # oracle-matching kernel) or 'ellipsoidal' (WGS-84 Vincenty pandas UDF —
-    # Karney/geopy-parity at reference thresholds, geo/geodesic.py)
+    # oracle-matching kernel), 'ellipsoidal' (WGS-84 Vincenty pandas UDF —
+    # Karney/geopy-parity at reference thresholds), or 'karney' (full-globe
+    # quadrature-exact WGS-84 inverse, no non-convergence regime; the
+    # reference-parity kernel, geo/geodesic.py)
     geodesic_kernel: str = "haversine"
 
 
@@ -160,31 +162,38 @@ class ResolveConfig:
 # per-QID facts (computed once per distinct QID, broadcast to elements)
 # =====================================================================
 
-def _any_hq_far_ellipsoidal_kernel(
-    lat: pd.Series, lon: pd.Series, hq_lats: pd.Series, hq_lons: pd.Series
-) -> pd.Series:
-    """Any P159 location > 20 km away under the WGS-84 ellipsoidal kernel
-    (geo/geodesic.ellipsoidal_km — Karney-parity at this scale). Arrow-
-    batched; the per-row hq lists are flattened so the kernel runs once,
-    vectorized, over the whole batch. Wrapped with pandas_udf lazily at the
-    call site (the decorator needs an active SparkSession)."""
-    import numpy as np
+def _any_hq_far_np_kernel(kernel: str):
+    """Factory: a pandas-UDF body testing any P159 location > 20 km away
+    under the named WGS-84 kernel (geo/geodesic.GEODESIC_KERNELS:
+    'ellipsoidal' = Vincenty, 'karney' = quadrature-exact full-globe
+    inverse; both Karney/geopy-parity at this scale). Arrow-batched; the
+    per-row hq lists are flattened so the kernel runs once, vectorized,
+    over the whole batch. Wrapped with pandas_udf lazily at the call site
+    (the decorator needs an active SparkSession)."""
 
-    from wikibrain_spark.geo.geodesic import ellipsoidal_km
+    def _any_hq_far(
+        lat: pd.Series, lon: pd.Series, hq_lats: pd.Series, hq_lons: pd.Series
+    ) -> pd.Series:
+        import numpy as np
 
-    lens = np.array([0 if a is None else len(a) for a in hq_lats], dtype=np.int64)
-    out = np.zeros(len(lat), dtype=bool)
-    if lens.sum() > 0:
-        idx = np.repeat(np.arange(len(lat)), lens)
-        flat_la = np.concatenate([np.asarray(a, dtype=np.float64) for a in hq_lats if a is not None and len(a)])
-        flat_lo = np.concatenate([np.asarray(a, dtype=np.float64) for a in hq_lons if a is not None and len(a)])
-        la = lat.to_numpy(dtype=np.float64)[idx]
-        lo = lon.to_numpy(dtype=np.float64)[idx]
-        ok = ~(np.isnan(la) | np.isnan(lo))
-        far = np.zeros(len(idx), dtype=bool)
-        far[ok] = ellipsoidal_km(la[ok], lo[ok], flat_la[ok], flat_lo[ok]) > 20.0
-        np.logical_or.at(out, idx, far)
-    return pd.Series(out)
+        from wikibrain_spark.geo.geodesic import GEODESIC_KERNELS
+
+        dist_km = GEODESIC_KERNELS[kernel]
+        lens = np.array([0 if a is None else len(a) for a in hq_lats], dtype=np.int64)
+        out = np.zeros(len(lat), dtype=bool)
+        if lens.sum() > 0:
+            idx = np.repeat(np.arange(len(lat)), lens)
+            flat_la = np.concatenate([np.asarray(a, dtype=np.float64) for a in hq_lats if a is not None and len(a)])
+            flat_lo = np.concatenate([np.asarray(a, dtype=np.float64) for a in hq_lons if a is not None and len(a)])
+            la = lat.to_numpy(dtype=np.float64)[idx]
+            lo = lon.to_numpy(dtype=np.float64)[idx]
+            ok = ~(np.isnan(la) | np.isnan(lo))
+            far = np.zeros(len(idx), dtype=bool)
+            far[ok] = dist_km(la[ok], lo[ok], flat_la[ok], flat_lo[ok]) > 20.0
+            np.logical_or.at(out, idx, far)
+        return pd.Series(out)
+
+    return _any_hq_far
 
 
 def best_interwiki(dims: WikiDims, cfg: ResolveConfig) -> DataFrame:
@@ -1196,8 +1205,8 @@ def resolve(elements: DataFrame, dims: WikiDims, cfg: ResolveConfig | None = Non
             F.zip_with("eff_hq_lats", "eff_hq_lons", lambda a, b: F.struct(a.alias("la"), b.alias("lo"))),
             lambda s: haversine_km_col(F.col("lat"), F.col("lon"), s["la"], s["lo"]) > 20,
         )
-    else:  # 'ellipsoidal': Karney-parity WGS-84 kernel (geo/geodesic.py)
-        hq_any_far = F.pandas_udf(_any_hq_far_ellipsoidal_kernel, "boolean")(
+    else:  # 'ellipsoidal' / 'karney': WGS-84 kernels (geo/geodesic.py)
+        hq_any_far = F.pandas_udf(_any_hq_far_np_kernel(cfg.geodesic_kernel), "boolean")(
             F.col("lat"), F.col("lon"), F.col("eff_hq_lats"), F.col("eff_hq_lons")
         )
     hq_far = F.when(
