@@ -98,3 +98,134 @@ def test_streaming_dedup_first_occurrence_only(spark, dedup_stream_dir, tmp_path
         "c": "img_0_3",
         "d": "img_1_1",   # min id among the two 'd's in batch 2
     }
+
+
+@pytest.fixture(scope="module")
+def rect_boundaries(spark):
+    # two disjoint rectangles over the stream fixture's lat/lon range
+    rows = [
+        (1, [0.0, 0.0, 50.0, 50.0], [-100.0, 0.0, 0.0, -100.0]),
+        (2, [-50.0, -50.0, -5.0, -5.0], [20.0, 150.0, 150.0, 20.0]),
+    ]
+    return spark.createDataFrame(
+        rows, "boundary_id long, ring_lat array<double>, ring_lon array<double>"
+    )
+
+
+def test_streaming_pip_matches_batch(spark, stream_dir, rect_boundaries, tmp_path):
+    """The UNCHANGED native PIP operator runs as a stream-static join:
+    streaming windowed per-boundary counts == the batch plan on the same
+    files and the same operator."""
+    from wikibrain_spark.operators import geotag, spatial_join
+
+    counts = pipeline.streaming_pip_boundary_counts(
+        spark, stream_dir, rect_boundaries, window_duration="10 minutes"
+    )
+    pipeline.run_stream_once(counts, str(tmp_path / "ckpt_pip"), "pip_stream_test")
+    got = spark.sql("select * from pip_stream_test").toPandas()
+
+    batch = spark.read.parquet(stream_dir)
+    pts = geotag.extract_geotags(batch, resolutions=(3,), with_s2=False).join(
+        batch.select("image_id", F.timestamp_micros("event_time_us").alias("event_time")),
+        "image_id",
+    )
+    want = (
+        spatial_join.broadcast_pip_join_native(
+            pts, rect_boundaries, cell_prefilter_res=2, extra_cols=("event_time",)
+        )
+        .groupBy(F.window("event_time", "10 minutes").alias("win"), "boundary_id")
+        .agg(F.count("*").alias("n_images"))
+        .select(F.col("win.start").alias("window_start"), "boundary_id", "n_images")
+        .toPandas()
+    )
+    key = ["window_start", "boundary_id"]
+    pd.testing.assert_frame_equal(
+        got.sort_values(key).reset_index(drop=True),
+        want.sort_values(key).reset_index(drop=True),
+        check_dtype=False,
+    )
+    assert got["n_images"].sum() > 0, "fixture must actually hit the rectangles"
+
+
+def _write_stream_file(path, specs):
+    """specs: list of (image_id, lat, lon, minutes_after_midnight)."""
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    rows = [
+        {
+            "image_id": iid,
+            "bytes": codecs.encode_image(img, "ppm", lat, lon),
+            "w": 8, "h": 8, "fmt": "ppm", "caption": "c", "phash": 0,
+            "event_time_us": int(
+                (pd.Timestamp("2024-03-01") + pd.Timedelta(minutes=minutes)).value // 1000
+            ),
+        }
+        for iid, lat, lon, minutes in specs
+    ]
+    pd.DataFrame(rows).to_parquet(path, index=False)
+
+
+def test_append_mode_watermark_drops_too_late_rows(spark, tmp_path):
+    """Real watermark semantics under outputMode=append, across three
+    sequential runs sharing one checkpoint (the watermark is persisted and
+    resumed):
+
+      run 1: events at 00:00..00:04 and 01:00 -> watermark becomes 00:30
+             (availableNow runs a finalization micro-batch, so the
+             [00:00,00:10) window emits with the 3 on-time rows already).
+      run 2: a too-late event at 00:05 (window [00:00,00:10) is already
+             below the watermark -> DROPPED — were it kept, it would
+             re-open that window's state and surface in run 3) plus an
+             in-watermark late event at 00:45 (kept, pending). Nothing
+             newly finalizes, so run 2 emits nothing.
+      run 3: an event at 02:30 pushes the watermark past 00:50 and 01:10,
+             emitting EXACTLY the 00:40 window (late-but-ok row counted)
+             and the 01:00 window — no resurrected [00:00,00:10) row,
+             which proves the too-late drop.
+    """
+    src = tmp_path / "wm_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "wm_ckpt")
+    out = str(tmp_path / "wm_out")
+
+    def emitted(_run_name):
+        # parquet sink: the memory sink refuses checkpoint recovery, and
+        # resuming the persisted watermark across restarts is the point
+        counts = pipeline.streaming_tile_counts(
+            spark, str(src), res=3, window_duration="10 minutes", watermark="30 minutes"
+        )
+        q = (
+            counts.writeStream.outputMode("append").format("parquet")
+            .option("path", out).option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        return {
+            (str(r["window_start"].time()), r["n_images"])
+            for r in spark.read.parquet(out).collect()
+        }
+
+    _write_stream_file(src / "a.parquet", [
+        ("on_time_1", 10.0, 10.0, 0),
+        ("on_time_2", 10.0, 10.0, 2),
+        ("on_time_3", 10.0, 10.0, 4),
+        ("advancer_1", 10.0, 10.0, 60),
+    ])
+    got1 = emitted("wm_run1")
+    assert got1 == {("00:00:00", 3)}, (
+        f"[00:00,00:10) finalizes with the 3 on-time rows; got {got1}"
+    )
+
+    _write_stream_file(src / "b.parquet", [
+        ("too_late", 10.0, 10.0, 5),     # below watermark 00:30 -> dropped
+        ("ok_late", 10.0, 10.0, 45),     # above watermark -> kept, pending
+    ])
+    got2 = emitted("wm_run2")
+    assert got2 == {("00:00:00", 3)}, (
+        f"nothing newly finalizes in run 2 (sink is cumulative); got {got2}"
+    )
+
+    _write_stream_file(src / "c.parquet", [("advancer_2", 10.0, 10.0, 150)])
+    got3 = emitted("wm_run3")
+    assert got3 == {("00:00:00", 3), ("00:40:00", 1), ("01:00:00", 1)}, (
+        f"ok_late must be counted exactly once, too_late never; got {got3}"
+    )

@@ -98,7 +98,10 @@ def _edge_table(boundaries: DataFrame) -> DataFrame:
 
 
 def broadcast_pip_join_native(
-    points: DataFrame, boundaries: DataFrame, cell_prefilter_res: int | None = None
+    points: DataFrame,
+    boundaries: DataFrame,
+    cell_prefilter_res: int | None = None,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Fully-JVM, fully-NARROW even-odd PIP: the (broadcast-sized) polygon
     set is aggregated into ONE row — an array<struct<bid, bbox, edges>>
@@ -119,6 +122,11 @@ def broadcast_pip_join_native(
     so each point folds only over the polygons whose bbox covers its cell.
     This is the scale configuration for large polygon sets (per-point work
     drops from O(all polygons) to O(cell candidates)).
+
+    extra_cols: additional point-side columns carried through to the output
+    (e.g. event_time on the Structured Streaming path — both plan shapes
+    here are stream-static-join legal: a broadcast static dim and no
+    shuffle of the points, so the SAME operator serves batch and stream).
     """
     poly_structs = polygon_structs(boundaries)
 
@@ -152,7 +160,7 @@ def broadcast_pip_join_native(
             "cell", cells.hexlite_cell_col(F.col("lat"), F.col("lon"), cell_prefilter_res)
         ).join(F.broadcast(cell_dim), "cell", "left")
     return pts.select(
-        "image_id", "lat", "lon",
+        "image_id", "lat", "lon", *extra_cols,
         # explode(null) yields no rows, so points whose cell has no covering
         # polygon (left-join miss) drop out without a null guard
         F.explode(

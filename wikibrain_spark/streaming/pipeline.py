@@ -71,11 +71,21 @@ def streaming_tile_counts(
     )
 
 
-def run_stream_once(df: DataFrame, checkpoint_dir: str, table_name: str = "tile_counts"):
+def run_stream_once(
+    df: DataFrame,
+    checkpoint_dir: str,
+    table_name: str = "tile_counts",
+    output_mode: str | None = None,
+):
     """Drain all available input (Trigger.AvailableNow) into a memory sink —
-    the test/bench harness entrypoint; swap sink for parquet/Iceberg in prod."""
+    the test/bench harness entrypoint; swap sink for parquet/Iceberg in prod.
+
+    output_mode None keeps the historical default (complete). Pass "append"
+    to exercise real watermark finalization: windows emit only once the
+    watermark passes their end, and later runs over the same checkpoint
+    resume the persisted watermark (late rows beyond it are dropped)."""
     q = (
-        df.writeStream.outputMode("complete" if table_name else "append")
+        df.writeStream.outputMode(output_mode or ("complete" if table_name else "append"))
         .format("memory")
         .queryName(table_name)
         .option("checkpointLocation", checkpoint_dir)
@@ -84,6 +94,39 @@ def run_stream_once(df: DataFrame, checkpoint_dir: str, table_name: str = "tile_
     )
     q.awaitTermination()
     return q
+
+
+def streaming_pip_boundary_counts(
+    spark: SparkSession,
+    source_dir: str,
+    boundaries: DataFrame,
+    window_duration: str = "10 minutes",
+    watermark: str = "30 minutes",
+    cell_prefilter_res: int = 2,
+) -> DataFrame:
+    """Streaming geotag → PIP → windowed per-boundary counts.
+
+    The PIP stage is the UNCHANGED batch operator
+    (spatial_join.broadcast_pip_join_native): a broadcast static dim joined
+    onto the stream with zero shuffle of the points, which is exactly the
+    stream-static join shape Structured Streaming supports statelessly.
+    Event time rides through the operator via extra_cols; the windowed
+    count then carries the watermark for late data.
+    """
+    from wikibrain_spark.operators import spatial_join
+
+    tagged = streaming_geotags(spark, source_dir).select(
+        "image_id", "lat", "lon", "event_time"
+    )
+    enriched = spatial_join.broadcast_pip_join_native(
+        tagged, boundaries, cell_prefilter_res, extra_cols=("event_time",)
+    )
+    return (
+        enriched.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", window_duration).alias("win"), "boundary_id")
+        .agg(F.count("*").alias("n_images"))
+        .select(F.col("win.start").alias("window_start"), "boundary_id", "n_images")
+    )
 
 
 def streaming_dedup(
