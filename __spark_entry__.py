@@ -478,6 +478,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("query_id", "rank")
     q["q_ann_lsh"] = q_ann_lsh
 
+    # ---- ANN IVF (rows-only; full-probe==brute-force + partial-probe
+    # recall + pure-JVM assignment plan pinned in pytest)
+    def q_ann_ivf(spark, sf):
+        return simsearch.cosine_topk_ivf(
+            _t(spark, sf, "embeddings"), list(range(10)), k=5,
+            n_centroids=16, n_probe=8,
+        ).orderBy("query_id", "rank")
+    q["q_ann_ivf"] = q_ann_ivf
+
     # ---- embedding-cosine near-dup pairs (label-blocked)
     def q_embedding_neardup(spark, sf):
         return dedup.embedding_near_dup_pairs(
@@ -1040,7 +1049,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
             ORDER BY doc_a, doc_b
         """,
-        # q_dedup_minhash, q_ann_lsh: genuinely approximate operators with no
-        # SQL equivalent -> rows-only driver check; their recall/precision is
-        # pinned against exact kernels in tests/test_pipeline_ops.py
+        # q_dedup_minhash, q_ann_lsh, q_ann_ivf: genuinely approximate
+        # operators with no SQL equivalent -> rows-only driver check; their
+        # recall/precision (and for IVF the full-probe==bruteforce anchor)
+        # is pinned against exact kernels in tests/test_pipeline_ops.py
     }

@@ -153,6 +153,61 @@ def test_lsh_recall_vs_bruteforce(spark, embeddings):
     assert len(bf) == 25  # 5 queries x k=5
 
 
+
+
+def test_ivf_full_probe_equals_bruteforce(spark, embeddings):
+    """n_probe == n_centroids degenerates IVF to exact brute force — the
+    correctness anchor for the assignment + probe + rank machinery."""
+    qids = list(range(5))
+    bf = simsearch.cosine_topk_bruteforce(embeddings, qids, k=5).toPandas()
+    ivf = simsearch.cosine_topk_ivf(
+        embeddings, qids, k=5, n_centroids=16, n_probe=16
+    ).toPandas()
+    key = ["query_id", "rank"]
+    pd.testing.assert_frame_equal(
+        ivf.sort_values(key).reset_index(drop=True),
+        bf.sort_values(key).reset_index(drop=True),
+        check_dtype=False,
+    )
+
+
+def test_ivf_partial_probe_recall_and_determinism(spark, embeddings):
+    """Half the inverted lists probed -> bounded candidate set with usable
+    recall; the seeded quantizer makes the whole path deterministic."""
+    qids = list(range(5))
+    bf = simsearch.cosine_topk_bruteforce(embeddings, qids, k=5).toPandas()
+    bf_set = set(map(tuple, bf[["query_id", "neighbor_id"]].values))
+    cents = simsearch.train_ivf_centroids(embeddings, n_centroids=16)
+    runs = [
+        simsearch.cosine_topk_ivf(
+            embeddings, qids, k=5, n_centroids=16, n_probe=8, centroids=cents
+        ).toPandas()
+        for _ in range(2)
+    ]
+    key = ["query_id", "rank"]
+    pd.testing.assert_frame_equal(
+        runs[0].sort_values(key).reset_index(drop=True),
+        runs[1].sort_values(key).reset_index(drop=True),
+    )
+    got = set(map(tuple, runs[0][["query_id", "neighbor_id"]].values))
+    recall = len(bf_set & got) / len(bf_set)
+    # the synthetic embeddings are weakly-clustered noise (IVF's hardest
+    # case); the scale win is the candidate bound, recall is the trade
+    assert recall >= 0.6, f"recall {recall}"
+
+
+def test_ivf_assignment_plan_is_pure_jvm(spark, embeddings):
+    """Cell assignment is a HOF argmin over a one-row broadcast dim: no
+    Python stage, no shuffle of the base side."""
+    cents = simsearch.train_ivf_centroids(embeddings, n_centroids=16)
+    assigned = simsearch.ivf_assign(embeddings, cents)
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+    assert "Exchange" not in plan.replace("BroadcastExchange", "BX")
+    n_cells = assigned.select("ivf_cell").distinct().count()
+    assert 2 <= n_cells <= 16
+
+
 def test_bruteforce_matches_numpy(spark, embeddings):
     pdf = embeddings.toPandas()
     mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)

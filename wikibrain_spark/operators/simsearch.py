@@ -1,6 +1,6 @@
 """Similarity search over embedding columns (array<float>).
 
-Two paths (SURVEY.md 'training-data pipeline ops'):
+Three paths (SURVEY.md 'training-data pipeline ops'):
   - brute-force cosine top-k: the exactness baseline. Norms precomputed,
     dot products as native F.zip_with/F.aggregate expressions, top-k via a
     window. Cross-join cost is bounded by the (small) query set — the big
@@ -8,6 +8,14 @@ Two paths (SURVEY.md 'training-data pipeline ops'):
   - LSH (random hyperplanes): deterministic seeded projections computed in
     an Arrow-batched pandas UDF, bucket equi-join, rank within bucket. The
     scale path: candidates per query ~ bucket size, not n.
+  - IVF (inverted file / coarse quantizer): spherical k-means centroids
+    trained on a DETERMINISTIC bounded sample on the driver (the standard
+    FAISS practice — quantizer training wants a sample, not the corpus),
+    then assignment and search are fully distributed: each vector gets its
+    nearest-centroid cell via a native HOF argmin over a one-row broadcast
+    centroid dim (row data, not plan literals — same Janino lesson as the
+    native PIP), and each query probes its n_probe nearest cells through a
+    cell equi-join. Candidates per query ~ n/n_centroids * n_probe.
 """
 
 from __future__ import annotations
@@ -121,6 +129,141 @@ def cosine_topk_lsh(
         )
         .where(F.col("neighbor_id") != F.col("query_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    sim = _dot(F.col("vec"), F.col("qvec")) / (F.col("nrm") * F.col("qnrm"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        cand.select("query_id", "neighbor_id", sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+# ------------------------------------------------------------------- IVF
+
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    n_iters: int = 10,
+    seed: int = 42,
+    max_train: int = 100_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Spherical k-means coarse quantizer, trained on a deterministic
+    sample (ordered xxhash64 of the id — partitioning-independent, unlike
+    DataFrame.sample) pulled to the driver. Returns (n_centroids, dim)
+    L2-normalized float64 centroids. At 100 TB the sample cap keeps the
+    driver pull bounded; FAISS trains IVF quantizers the same way."""
+    pdf = (
+        embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .withColumn("h", F.xxhash64(F.col("id")))
+        .orderBy("h")
+        .limit(max_train)
+        .toPandas()
+    )
+    mat = np.array(pdf.sort_values("id")["v"].tolist(), dtype=np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cents = mat[rng.choice(len(mat), size=n_centroids, replace=False)]
+    for _ in range(n_iters):
+        assign = np.argmax(mat @ cents.T, axis=1)
+        for c in range(n_centroids):
+            members = mat[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+        cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    return cents
+
+
+def _centroid_dim(spark, centroids: np.ndarray) -> DataFrame:
+    """One-row (cents: array<struct<cid int, cvec array<double>>>) dim —
+    centroids as ROW DATA so the assignment lambda is fixed-size
+    regardless of n_centroids."""
+    cents = [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)]
+    # built as ONE driver-side row (no collect_list aggregation): the
+    # broadcast dim adds zero exchanges to the plan
+    return spark.createDataFrame(
+        [(cents,)], "cents array<struct<cid: int, cvec: array<double>>>"
+    )
+
+
+def _cell_rank_structs(vec: Column, nrm: Column) -> Column:
+    """array<struct<negsim double, cid int>> over the broadcast `cents`
+    column — lexicographic struct order makes array_min/sort_array an
+    argmin by cosine distance."""
+    return F.transform(
+        F.col("cents"),
+        lambda c: F.struct(
+            (-_dot(vec, c["cvec"]) / nrm).alias("negsim"), c["cid"].alias("cid")
+        ),
+    )
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, vec, nrm, ivf_cell) — nearest-centroid assignment, fully native
+    (HOF argmin over the broadcast one-row dim; zero shuffle, zero Python)."""
+    dim = _centroid_dim(embeddings.sparkSession, centroids)
+    nrm = F.greatest(_norm(F.col(vec_col)), F.lit(1e-12))
+    return (
+        embeddings.crossJoin(F.broadcast(dim))
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("vec"),
+            _norm(F.col(vec_col)).alias("nrm"),
+            F.array_min(_cell_rank_structs(F.col(vec_col), nrm))["cid"].alias("ivf_cell"),
+        )
+    )
+
+
+def cosine_topk_ivf(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    n_iters: int = 10,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """Approximate top-k via IVF: each query probes its n_probe nearest
+    centroid cells; candidates come from a cell equi-join (never a cross
+    join of the base side). n_probe == n_centroids degenerates to exact
+    brute force — pinned in tests. Pass `centroids` to reuse a trained
+    quantizer across queries."""
+    spark = embeddings.sparkSession
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            embeddings, n_centroids, n_iters, seed, id_col=id_col, vec_col=vec_col
+        )
+    assigned = ivf_assign(embeddings, centroids, id_col=id_col, vec_col=vec_col)
+    dim = _centroid_dim(spark, centroids)
+    nrm = F.greatest(_norm(F.col(vec_col)), F.lit(1e-12))
+    probes = (
+        embeddings.where(F.col(id_col).isin(query_ids))
+        .crossJoin(F.broadcast(dim))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            _norm(F.col(vec_col)).alias("qnrm"),
+            F.explode(
+                F.transform(
+                    F.slice(F.sort_array(_cell_rank_structs(F.col(vec_col), nrm)), 1, n_probe),
+                    lambda s: s["cid"],
+                )
+            ).alias("ivf_cell"),
+        )
+    )
+    cand = assigned.join(F.broadcast(probes), "ivf_cell").where(
+        F.col("neighbor_id") != F.col("query_id")
     )
     sim = _dot(F.col("vec"), F.col("qvec")) / (F.col("nrm") * F.col("qnrm"))
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
