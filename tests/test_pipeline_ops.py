@@ -386,9 +386,8 @@ def test_within_distance_candidate_cells_explode_factor(spark):
     rows still get their full-circle rings."""
     df = spark.createDataFrame(
         pd.DataFrame({"lat": [0.0, 45.0, 84.9], "lon": [0.0, 10.0, 0.0]}))
-    sizes = [r["n"] for r in df.select(
-        F.size(knn.within_distance_candidate_cells(
-            F.col("lat"), F.col("lon"), 1500.0, 0)).alias("n")).collect()]
+    sizes = [r["n"] for r in knn.with_within_distance_candidate_cells(
+        df, 1500.0, 0).select(F.size("cells").alias("n")).collect()]
     equator, mid, polar = sizes
     assert equator <= 25, f"equatorial ring {equator} cells (was 301 pre-fix)"
     assert mid <= 30, f"mid-latitude ring {mid} cells"

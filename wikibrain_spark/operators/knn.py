@@ -86,12 +86,13 @@ def knn_kring(
     )
 
 
-def within_distance_candidate_cells(
-    lat: Column, lon: Column, km: float, res: int
-) -> Column:
-    """array<long> of hexlite cells that can contain a point within `km` of
-    (lat, lon) — the candidate-generation kernel of :func:`within_distance_join`,
-    exposed so tests can measure per-row explode factor with ``F.size``.
+def with_within_distance_candidate_cells(
+    df: DataFrame, km: float, res: int, out: str = "cells"
+) -> DataFrame:
+    """Adds `out`: array<long> of hexlite cells that can contain a point
+    within `km` of the row's (lat, lon) — the candidate-generation kernel
+    of :func:`within_distance_join`, exposed so tests can measure per-row
+    explode factor with ``F.size``.
 
     Per-row / per-latitude-band sizing (all native expressions):
 
@@ -110,10 +111,26 @@ def within_distance_candidate_cells(
       which is exactly the over-the-pole reachability an along-parallel
       formula misses.
 
-    The per-band cell list is ``transform(sequence(-dj, dj), ...)`` — a
-    data-dependent-width ring with no Python in the plan. Recall is total
-    for ALL latitudes (poles included); an exact haversine filter after the
-    equi-join keeps precision exact.
+    The per-band cell list is built WITHOUT higher-order-function lambdas
+    (HOF lambdas are interpreted per element, not codegen'd — measured 4x
+    the whole kernel cost at sf0.1): within one band the candidate cell ids
+    are CONSECUTIVE integers (header | band<<28 | lon_index), so a plain
+    ``sequence(first_cell, last_cell)`` enumerates them natively; a window
+    wrapping the antimeridian becomes a concat of two sequences, and a
+    window covering the full circle becomes the exact one-sequence
+    circle — which also makes the old ``array_distinct`` unnecessary.
+    Recall is total for ALL latitudes (poles included); an exact haversine
+    filter after the equi-join keeps precision exact.
+
+    Shaped as a DataFrame transform (not a Column) deliberately: the
+    per-band trig half-width ``dj`` is referenced ~7x by the sequence
+    bounds, so it is STAGED as a real column in a first projection and the
+    arrays are built in a second — inline, the duplicated subtrees push
+    whole-stage codegen past Janino's 64 KB method ceiling and the whole
+    projection silently falls back to interpreted eval (measured ~2x
+    slower than even the HOF formulation). CollapseProject keeps the two
+    projections separate because the staged aliases are non-cheap and
+    multiply referenced.
     """
     import math
 
@@ -131,6 +148,7 @@ def within_distance_candidate_cells(
     # uniform-width count, so widen the margin by 1 there
     dj_margin = 1 if abs(n_lon * step - 360.0) < 1e-9 else 2
 
+    lat, lon = F.col("lat"), F.col("lon")
     lat_idx = F.least(F.floor((lat + F.lit(90.0)) / F.lit(step)), F.lit(n_lat - 1)).cast("long")
     lon_idx = F.least(
         F.floor(F.pmod(lon + F.lit(180.0), F.lit(360.0)) / F.lit(step)), F.lit(n_lon - 1)
@@ -141,8 +159,11 @@ def within_distance_candidate_cells(
     def _clamp(x, lo, hi):
         return F.greatest(lo, F.least(hi, x))
 
-    per_band = []
-    for di in range(-lat_ring, lat_ring + 1):
+    # ---- projection 1: stage lat/lon indexes + per-band half-widths
+    # (_dj_i is null when the band is out of range or unreachable)
+    staged: dict[str, Column] = {"_lat_idx": lat_idx, "_lon_idx": lon_idx}
+    band_ids = list(range(-lat_ring, lat_ring + 1))
+    for i, di in enumerate(band_ids):
         band = lat_idx + F.lit(di)
         band_lo = band.cast("double") * F.lit(step) - F.lit(90.0)
         band_hi = F.least(band_lo + F.lit(step), F.lit(90.0))
@@ -170,17 +191,33 @@ def within_distance_candidate_cells(
                 F.floor(dlon_deg / F.lit(step)).cast("long") + F.lit(dj_margin),
                 F.lit(dj_cap),
             )
-        # NB: a default-arg capture (lambda d, band=band: ...) would make a
-        # 2-arg lambda, which F.transform binds as (element, index) — the
-        # factory keeps the lambda unary while capturing the band column
-        def _band_cells(band_col):
-            return lambda d: (
-                F.lit(header) + F.shiftleft(band_col, 28) + F.pmod(lon_idx + d, F.lit(n_lon))
-            )
+        staged[f"_dj_{i}"] = F.when(guard, dj)
+    st = df.withColumns(staged)
 
-        per_band.append(F.when(guard, F.transform(F.sequence(-dj, dj), _band_cells(band))))
-    return F.array_distinct(
-        F.flatten(F.filter(F.array(*per_band), lambda a: a.isNotNull()))
+    # ---- projection 2: enumerate each band's consecutive-id runs
+    per_band = []
+    for i, di in enumerate(band_ids):
+        dj = F.col(f"_dj_{i}")
+        band = F.col("_lat_idx") + F.lit(di)
+        base = F.lit(header) + F.shiftleft(band, 28)
+        lo, hi = F.col("_lon_idx") - dj, F.col("_lon_idx") + dj
+        cells_in_band = (
+            F.when(dj.isNull(), F.array().cast("array<long>"))
+            .when(
+                F.lit(2) * dj + 1 >= n_lon,  # full circle, exactly once
+                F.sequence(base, base + F.lit(n_lon - 1)),
+            )
+            .when((lo >= 0) & (hi <= n_lon - 1), F.sequence(base + lo, base + hi))
+            .otherwise(  # antimeridian wrap: two runs of consecutive ids
+                F.concat(
+                    F.sequence(base + F.pmod(lo, F.lit(n_lon)), base + F.lit(n_lon - 1)),
+                    F.sequence(base, base + F.pmod(hi, F.lit(n_lon))),
+                )
+            )
+        )
+        per_band.append(cells_in_band)
+    return st.withColumn(out, F.flatten(F.array(*per_band))).drop(
+        *[c for c in staged]
     )
 
 
@@ -190,6 +227,7 @@ def within_distance_join(
     km: float,
     res: int | None = None,
     max_abs_lat: float | None = None,
+    explode_side: str = "right",
 ) -> DataFrame:
     """Distance-band range join: ALL (left_id, right_id) pairs within `km`,
     as a cell equi-join instead of a cross join (the geospatial range-join
@@ -198,12 +236,28 @@ def within_distance_join(
     left(left_id, lat, lon) x right(right_id, lat, lon) ->
     (left_id, right_id, dist_km_e3).
 
-    Candidate generation is :func:`within_distance_candidate_cells` —
+    Candidate generation is :func:`with_within_distance_candidate_cells` —
     per-row spherical-cap ring sizing, so recall is total at every latitude
     (over-the-pole pairs included) and equatorial rows pay only the handful
     of cells their own latitude requires instead of a global worst case.
     ``max_abs_lat`` is accepted for API compatibility and ignored: per-row
     sizing needs no data-extent hint.
+
+    explode_side: which side pays the ring expansion — point pairs are
+    within range iff one point's ring contains the other point's single
+    cell, so the roles are symmetric and the ring should go on the SMALLER
+    side (default "right", the dimension side by convention): the big side
+    then does one cell encode per row and stays a narrow probe of the
+    (ring-exploded, typically broadcast) small side, with zero shuffles
+    and a small codegen footprint on the hot path.
+
+    No pair dedup is needed in either orientation: a point joins on its
+    SINGLE cell, and that cell appears at most once in any ring (bands are
+    distinct, the runs within a band are disjoint, and the full-circle
+    branch enumerates the circle exactly once), so (left_id, right_id)
+    pairs are unique by construction — the old pair-dedup hash aggregate
+    was also the stage that pushed whole-stage codegen past Janino's 64 KB
+    ceiling.
     """
     if res is None:
         # coarsest-useful cells: edge >= km/2 keeps the ring rectangle small
@@ -212,20 +266,44 @@ def within_distance_join(
         while res < 10 and cells.hexlite_step(res + 1) * 111.0 >= km / 2.0:
             res += 1
 
-    r = right.select(
-        "right_id", F.col("lat").alias("rlat"), F.col("lon").alias("rlon"),
-        cells.hexlite_cell_col(F.col("lat"), F.col("lon"), res).alias("cell"),
-    )
-    l = left.select(
-        F.col("left_id"), F.col("lat").alias("llat"), F.col("lon").alias("llon"),
-        F.explode(
-            within_distance_candidate_cells(F.col("lat"), F.col("lon"), km, res)
-        ).alias("cell"),
-    )
+    if explode_side == "right":
+        probe = left.select(
+            "left_id", F.col("lat").alias("llat"), F.col("lon").alias("llon"),
+            cells.hexlite_cell_col(F.col("lat"), F.col("lon"), res).alias("cell"),
+        )
+        ring = (
+            with_within_distance_candidate_cells(
+                right.select("right_id", "lat", "lon"), km, res
+            )
+            .select(
+                "right_id", F.col("lat").alias("rlat"), F.col("lon").alias("rlon"),
+                # explode_outer + post-filter, NOT explode: the non-outer
+                # Generate makes InferFiltersFromGenerate push a
+                # size(cells) > 0 filter below the staged projections,
+                # re-substituting the whole candidate tree into one giant
+                # (uncompilable, 25k-line) filter condition
+                F.explode_outer("cells").alias("cell"),
+            )
+            .where(F.col("cell").isNotNull())
+        )
+    else:
+        probe = right.select(
+            "right_id", F.col("lat").alias("rlat"), F.col("lon").alias("rlon"),
+            cells.hexlite_cell_col(F.col("lat"), F.col("lon"), res).alias("cell"),
+        )
+        ring = (
+            with_within_distance_candidate_cells(
+                left.select("left_id", "lat", "lon"), km, res
+            )
+            .select(
+                "left_id", F.col("lat").alias("llat"), F.col("lon").alias("llon"),
+                F.explode_outer("cells").alias("cell"),  # see note above
+            )
+            .where(F.col("cell").isNotNull())
+        )
     dist = haversine_km_col(F.col("llat"), F.col("llon"), F.col("rlat"), F.col("rlon"))
     return (
-        l.join(r, "cell")
-        .dropDuplicates(["left_id", "right_id"])
+        probe.join(ring, "cell")
         .where(dist <= km)
         .select("left_id", "right_id", F.floor(dist * 1000).cast("long").alias("dist_km_e3"))
     )
