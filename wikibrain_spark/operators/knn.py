@@ -56,30 +56,39 @@ def knn_kring(
         "query_id", F.col("lat").alias("qlat"), F.col("lon").alias("qlon"),
         cells.hexlite_cell_col(F.col("lat"), F.col("lon"), res).alias("qcell"),
     )
-    lat_idx = F.shiftright("qcell", 28).bitwiseAND(F.lit((1 << 28) - 1))
-    lon_idx = F.col("qcell").bitwiseAND(F.lit((1 << 28) - 1))
-    ring_cells = F.array(
-        *[
-            F.when(
-                (lat_idx + di >= 0) & (lat_idx + di < n_lat),
-                F.lit(header)
-                + F.shiftleft(lat_idx + di, 28)
-                + F.pmod(lon_idx + dj, F.lit(n_lon)),
-            )
-            for di in range(-ring, ring + 1)
-            for dj in range(-lon_ring, lon_ring + 1)
-        ]
+    # the (2*ring+1) x (2*lon_ring+1) ring array is built as ONE SQL string
+    # parsed JVM-side: the same expression assembled from F.when/F.array
+    # objects costs ~1000 Py4J round-trips (~3.5 s of driver time at
+    # ring=4) for an identical plan
+    lat_terms = ", ".join(
+        f"CASE WHEN _lat_idx + ({di}) >= 0 AND _lat_idx + ({di}) < {n_lat} "
+        f"THEN {header} + shiftleft(_lat_idx + ({di}), 28) + pmod(_lon_idx + ({dj}), {n_lon}) END"
+        for di in range(-ring, ring + 1)
+        for dj in range(-lon_ring, lon_ring + 1)
     )
-    q = q.select(
-        "query_id", "qlat", "qlon",
-        F.explode(F.array_distinct(F.filter(ring_cells, lambda c: c.isNotNull()))).alias("cell"),
+    ring_cells = F.expr(f"array_distinct(filter(array({lat_terms}), c -> c IS NOT NULL))")
+    # explode_outer + post-filter (not explode): a non-outer Generate makes
+    # InferFiltersFromGenerate push a size() > 0 filter below this
+    # projection, re-substituting the whole ring array into one giant
+    # filter condition (same pathology as within_distance_join)
+    q = (
+        q.withColumns({
+            "_lat_idx": F.shiftright("qcell", 28).bitwiseAND(F.lit((1 << 28) - 1)),
+            "_lon_idx": F.col("qcell").bitwiseAND(F.lit((1 << 28) - 1)),
+        })
+        .select(
+            "query_id", "qlat", "qlon",
+            F.explode_outer(ring_cells).alias("cell"),
+        )
+        .where(F.col("cell").isNotNull())
     )
     dist = haversine_km_col(F.col("qlat"), F.col("qlon"), F.col("plat"), F.col("plon"))
     w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("place_id"))
+    # no pair dedup: the ring is array_distinct and a place joins on its
+    # SINGLE cell, so (query_id, place_id) appears at most once
     return (
         q.join(p, "cell")
         .select("query_id", "place_id", dist.alias("dist"))
-        .dropDuplicates(["query_id", "place_id"])
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "place_id", "rank")
