@@ -45,7 +45,7 @@ def knn_kring(
     # non-divisible grids have one narrower seam cell at the antimeridian;
     # widen the lon ring by 1 there so a neighborhood spanning the seam
     # still covers the same ground distance (same margin as
-    # within_distance_candidate_cells)
+    # with_within_distance_candidate_cells)
     lon_ring = ring if abs(n_lon * step - 360.0) < 1e-9 else ring + 1
 
     p = places.select(
