@@ -229,3 +229,65 @@ def test_append_mode_watermark_drops_too_late_rows(spark, tmp_path):
     assert got3 == {("00:00:00", 3), ("00:40:00", 1), ("01:00:00", 1)}, (
         f"ok_late must be counted exactly once, too_late never; got {got3}"
     )
+
+
+def test_stream_stream_interval_join_bounded_state(spark, tmp_path):
+    """Stream-stream interval join with watermark-derived state eviction,
+    across two runs of one checkpoint:
+
+      run 1: img1@00:00 and img2@02:00; caption c1 for img1 @00:10 matches
+             inside [img_time, +30min]. An advancer caption @02:00 pushes
+             the caption watermark to 01:30, which is past
+             img1_time + max_delay (00:30) -> img1's join state is evicted.
+      run 2: c2 for img1 @00:20 would have matched but its partner state is
+             gone AND it is below the caption watermark -> no output row;
+             c3 for img2 @02:10 is in-window and above the watermark ->
+             matches. Exactly {c1, c3} ever emit.
+    """
+    img_dir, cap_dir = tmp_path / "imgs", tmp_path / "caps"
+    img_dir.mkdir(); cap_dir.mkdir()
+    ckpt, out = str(tmp_path / "ck"), str(tmp_path / "out")
+    base = pd.Timestamp("2024-03-01")
+
+    def us(minutes):
+        return int((base + pd.Timedelta(minutes=minutes)).value // 1000)
+
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    pd.DataFrame([
+        {"image_id": "img1", "bytes": codecs.encode_image(img, "ppm", 1.0, 1.0),
+         "w": 8, "h": 8, "fmt": "ppm", "caption": "", "phash": 0, "event_time_us": us(0)},
+        {"image_id": "img2", "bytes": codecs.encode_image(img, "ppm", 2.0, 2.0),
+         "w": 8, "h": 8, "fmt": "ppm", "caption": "", "phash": 0, "event_time_us": us(120)},
+    ]).to_parquet(img_dir / "a.parquet", index=False)
+
+    def run_once():
+        j = pipeline.streaming_caption_join(
+            spark, str(img_dir), str(cap_dir),
+            max_delay="30 minutes", watermark="30 minutes",
+        )
+        q = (
+            j.writeStream.outputMode("append").format("parquet")
+            .option("path", out).option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        return {
+            (r["image_id"], r["matched_caption"])
+            for r in spark.read.parquet(out).collect()
+        }
+
+    pd.DataFrame([
+        {"image_id": "img1", "caption": "c1", "event_time_us": us(10)},
+        {"image_id": "zzz", "caption": "advancer", "event_time_us": us(120)},
+    ]).to_parquet(cap_dir / "a.parquet", index=False)
+    got1 = run_once()
+    assert got1 == {("img1", "c1")}, f"in-window caption must match; got {got1}"
+
+    pd.DataFrame([
+        {"image_id": "img1", "caption": "c2", "event_time_us": us(20)},   # evicted partner
+        {"image_id": "img2", "caption": "c3", "event_time_us": us(130)},  # in window
+    ]).to_parquet(cap_dir / "b.parquet", index=False)
+    got2 = run_once()
+    assert got2 == {("img1", "c1"), ("img2", "c3")}, (
+        f"evicted-state caption must not resurrect a match; got {got2}"
+    )

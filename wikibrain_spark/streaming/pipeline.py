@@ -162,3 +162,51 @@ def streaming_dedup(
             first_only, out_schema, "seen int", "append", GroupStateTimeout.NoTimeout
         )
     )
+
+
+def streaming_caption_join(
+    spark: SparkSession,
+    image_dir: str,
+    caption_dir: str,
+    max_delay: str = "30 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream interval join: each image matches caption annotations
+    that arrive on a SECOND stream within [img_time, img_time + max_delay].
+
+    Both sides carry watermarks, and the time-range join condition lets
+    Structured Streaming derive state-eviction bounds from them: an image
+    row is dropped from join state once the caption watermark passes
+    img_time + max_delay, so state is bounded by (rate x window), not by
+    stream length — the property that makes this run forever at 100 TB.
+    Unmatched rows are dropped (inner join); the test pins the bounded-
+    state semantics across query restarts.
+    """
+    imgs = (
+        spark.readStream.schema(IMAGE_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(image_dir)
+        .select("image_id", F.timestamp_micros("event_time_us").alias("img_time"))
+        .withWatermark("img_time", watermark)
+    )
+    caps = (
+        spark.readStream.schema("image_id string, caption string, event_time_us long")
+        .option("maxFilesPerTrigger", 8)
+        .parquet(caption_dir)
+        .select(
+            F.col("image_id").alias("cap_image_id"),
+            F.col("caption").alias("matched_caption"),
+            F.timestamp_micros("event_time_us").alias("cap_time"),
+        )
+        .withWatermark("cap_time", watermark)
+    )
+    return (
+        imgs.join(
+            caps,
+            (F.col("image_id") == F.col("cap_image_id"))
+            & (F.col("cap_time") >= F.col("img_time"))
+            & (F.col("cap_time") <= F.col("img_time") + F.expr(f"INTERVAL {max_delay}")),
+            "inner",
+        )
+        .select("image_id", "matched_caption", "img_time", "cap_time")
+    )
