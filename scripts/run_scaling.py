@@ -58,6 +58,7 @@ def main() -> None:
         ("native PIP, 3000 polygons, cell-prefiltered (20M pts)", "pip3000_prefilter_sec"),
         ("broadcast-join copy probe (same join, no PIP math)", "pip3000_copy_probe_sec"),
         ("prefiltered PIP kernel (prefiltered minus copy probe)", "pip3000_kernel_sec"),
+        ("distance-band range join (20M pts x 100 places, km=1000)", "wd_range_sec"),
         ("Arrow-channel probe (identity mapInPandas)", "channel_probe_sec"),
     ]
     lines = [
@@ -80,6 +81,8 @@ def main() -> None:
     ]
     effs = []
     for label, key in jobs:
+        if key not in lo:  # re-rendering raw JSON from an older run
+            continue
         sp = lo[key] / hi[key]
         eff = sp / ratio
         effs.append((label, eff))
@@ -94,6 +97,10 @@ def main() -> None:
         f"| channel probe rows/sec | {lo['channel_probe_rows_per_sec']} | {hi['channel_probe_rows_per_sec']} |",
         f"| PIP 3000-poly one-row-dim pts/sec | {lo['pip3000_native_rows_per_sec']} | {hi['pip3000_native_rows_per_sec']} |",
         f"| PIP 3000-poly prefiltered pts/sec | {lo['pip3000_prefilter_rows_per_sec']} | {hi['pip3000_prefilter_rows_per_sec']} |",
+        *(
+            [f"| range-join probe pts/sec | {lo['wd_range_rows_per_sec']} | {hi['wd_range_rows_per_sec']} |"]
+            if "wd_range_rows_per_sec" in lo else []
+        ),
         "",
         "At 3000 polygons (10x the 300-polygon pytest pin) the cell-prefiltered",
         "native dim is the designated configuration: on the SAME 100k-point",

@@ -200,6 +200,24 @@ def main() -> None:
         max(res["pip3000_prefilter_sec"] - res["pip3000_copy_probe_sec"], 0.001), 3
     )
 
+    # distance-band range join (round-2 perf-weak, rebuilt round 3 as a
+    # compiled zero-shuffle narrow pipeline): 20M probe points against 100
+    # ring-exploded places at km=1000 — compute-bound (cell encode +
+    # haversine verify per candidate), so it carries its own efficiency row
+    from wikibrain_spark.operators import knn as _knn
+
+    places = spark.createDataFrame(
+        [(int(i), float((i * 131) % 160 - 80), float((i * 173) % 350 - 175))
+         for i in range(100)],
+        "right_id long, lat double, lon double",
+    )
+    wd_left = pts_pref.select(F.col("image_id").alias("left_id"), "lat", "lon")
+    res["wd_range_points"] = n_pref
+    res["wd_range_sec"] = timed(
+        lambda: _knn.within_distance_join(wd_left, places, km=1000.0)
+    )
+    res["wd_range_rows_per_sec"] = round(n_pref / res["wd_range_sec"], 1)
+
     print(json.dumps(res))
     spark.stop()
 
