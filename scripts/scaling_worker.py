@@ -206,9 +206,13 @@ def main() -> None:
     # haversine verify per candidate), so it carries its own efficiency row
     from wikibrain_spark.operators import knn as _knn
 
+    # 500 places -> ~15 exact haversine verifies per probe point, which
+    # keeps the job compute-bound: at 100 places the per-point work was so
+    # light that the row measured the local-mode shared-socket broadcast
+    # probe (the copy-probe artifact), not the operator kernel
     places = spark.createDataFrame(
         [(int(i), float((i * 131) % 160 - 80), float((i * 173) % 350 - 175))
-         for i in range(100)],
+         for i in range(500)],
         "right_id long, lat double, lon double",
     )
     wd_left = pts_pref.select(F.col("image_id").alias("left_id"), "lat", "lon")
