@@ -379,6 +379,35 @@ def test_within_distance_join_all_latitudes_fine_res(spark):
     assert got == want
 
 
+def test_within_distance_join_config_sweep(spark):
+    """Exactness across operating points the fixed cases miss: the
+    cos_theta <= 0 quarter-circumference branch (km=12000: every reachable
+    band gets the full circle), the left-explode orientation, an odd
+    radius on a non-divisible grid, and a fine grid at small km."""
+    rng = np.random.default_rng(99)
+    n_a, n_b = 120, 40
+    a = spark.createDataFrame(pd.DataFrame({
+        "left_id": range(n_a),
+        "lat": np.degrees(np.arcsin(rng.uniform(-1, 1, n_a))),
+        "lon": rng.uniform(-180, 180, n_a)}))
+    b = spark.createDataFrame(pd.DataFrame({
+        "right_id": range(n_b),
+        "lat": np.degrees(np.arcsin(rng.uniform(-1, 1, n_b))),
+        "lon": rng.uniform(-180, 180, n_b)}))
+    for km, res, side in [
+        (12000.0, 0, "right"),   # cap radius > quarter circumference
+        (2500.0, 0, "left"),     # left-explode orientation
+        (800.0, 1, "right"),     # odd radius, non-divisible grid
+        (1200.0, 2, "left"),     # fine non-divisible grid, left-explode
+    ]:
+        got = {(r["left_id"], r["right_id"])
+               for r in knn.within_distance_join(
+                   a, b, km=km, res=res, explode_side=side).collect()}
+        want = _crossjoin_pairs(a, b, km)
+        assert got == want, f"config (km={km}, res={res}, side={side})"
+        assert len(want) > 0, f"vacuous config (km={km})"
+
+
 def test_within_distance_candidate_cells_explode_factor(spark):
     """Scale pin (round-2 verdict #2): at the driver config (km=1500, auto
     res=0) an equatorial row must explode to a handful of cells — not the
