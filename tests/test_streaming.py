@@ -291,3 +291,52 @@ def test_stream_stream_interval_join_bounded_state(spark, tmp_path):
     assert got2 == {("img1", "c1"), ("img2", "c3")}, (
         f"evicted-state caption must not resurrect a match; got {got2}"
     )
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Single-run equivalence: the streaming interval join over fully
+    available inputs produces exactly the batch join with the same
+    condition (no late data, so watermarks change nothing)."""
+    img_dir, cap_dir = tmp_path / "imgs_b", tmp_path / "caps_b"
+    img_dir.mkdir(); cap_dir.mkdir()
+    base = pd.Timestamp("2024-04-01")
+    us = lambda m: int((base + pd.Timedelta(minutes=m)).value // 1000)
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    rng = np.random.default_rng(5)
+    pd.DataFrame([
+        {"image_id": f"i{k}", "bytes": codecs.encode_image(img, "ppm", 1.0, 1.0),
+         "w": 8, "h": 8, "fmt": "ppm", "caption": "", "phash": 0,
+         "event_time_us": us(int(rng.integers(0, 40)))}
+        for k in range(25)
+    ]).to_parquet(img_dir / "a.parquet", index=False)
+    caps = pd.DataFrame([
+        {"image_id": f"i{int(rng.integers(0, 30))}", "caption": f"c{k}",
+         "event_time_us": us(int(rng.integers(0, 80)))}
+        for k in range(60)
+    ])
+    caps.to_parquet(cap_dir / "a.parquet", index=False)
+
+    j = pipeline.streaming_caption_join(spark, str(img_dir), str(cap_dir), max_delay="30 minutes")
+    q = (
+        j.writeStream.outputMode("append").format("parquet")
+        .option("path", str(tmp_path / "out_b"))
+        .option("checkpointLocation", str(tmp_path / "ck_b"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {(r["image_id"], r["matched_caption"])
+           for r in spark.read.parquet(str(tmp_path / "out_b")).collect()}
+
+    bi = spark.read.parquet(str(img_dir)).select(
+        "image_id", F.timestamp_micros("event_time_us").alias("img_time"))
+    bc = spark.read.parquet(str(cap_dir)).select(
+        F.col("image_id").alias("cid"), "caption",
+        F.timestamp_micros("event_time_us").alias("cap_time"))
+    want = {(r["image_id"], r["caption"])
+            for r in bi.join(
+                bc,
+                (F.col("image_id") == F.col("cid"))
+                & (F.col("cap_time") >= F.col("img_time"))
+                & (F.col("cap_time") <= F.col("img_time") + F.expr("INTERVAL 30 minutes")),
+            ).collect()}
+    assert got == want and len(want) > 5
