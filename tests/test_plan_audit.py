@@ -1,0 +1,76 @@
+"""Physical-plan regression pins for the plan shapes that carry the
+engine's scale story — cheap to check, expensive to lose silently.
+
+Each assertion here encodes a lesson that cost a round to learn:
+Python stages sneaking into native paths, dedup hash aggregates
+reappearing in joins that are duplicate-free by construction, or the
+InferFiltersFromGenerate filter re-inlining a staged candidate tree.
+"""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from wikibrain_spark.operators import knn
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def wd_plan(spark):
+    left = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        F.col("event_id").alias("left_id"),
+        (F.pmod(F.col("event_id") * 7, 160) - 80.0).alias("lat"),
+        (F.pmod(F.col("event_id") * 11, 350) - 175.0).alias("lon"),
+    )
+    right = spark.read.parquet(f"{SF_DIR}/nation.parquet").select(
+        F.col("n_nationkey").alias("right_id"),
+        (F.pmod(F.col("n_nationkey") * 13, 160) - 80.0).alias("lat"),
+        (F.pmod(F.col("n_nationkey") * 17, 350) - 175.0).alias("lon"),
+    )
+    return _plan(knn.within_distance_join(left, right, km=1500.0))
+
+
+def test_within_distance_plan_is_narrow_and_compiled(spark, wd_plan):
+    """Zero shuffles (pairs unique by construction -> no dedup aggregate;
+    the only allowed exchange is the broadcast of the ring side) and no
+    Python stage anywhere."""
+    assert "Python" not in wd_plan
+    assert "HashAggregate" not in wd_plan and "ObjectHashAggregate" not in wd_plan
+    stripped = wd_plan.replace("BroadcastExchange", "BX")
+    assert "Exchange" not in stripped, "unexpected shuffle in the range join"
+
+
+def test_within_distance_candidate_projections_stay_staged(spark):
+    """The trig half-width columns must survive as separate projections —
+    if an optimizer rule re-inlines them (the InferFiltersFromGenerate
+    pathology), the plan grows a giant Filter below the Generate and
+    codegen silently falls back to interpreted eval."""
+    df = spark.createDataFrame(
+        pd.DataFrame({"left_id": [1], "lat": [10.0], "lon": [20.0]}))
+    staged = knn.with_within_distance_candidate_cells(df, 1500.0, 0)
+    plan = _plan(staged.select(F.explode_outer("cells").alias("cell")))
+    # the Generate's child chain must NOT contain a Filter mentioning the
+    # spherical-cap trig (ACOS appears only in the staged projection)
+    gen_idx = plan.find("Generate")
+    assert gen_idx != -1
+    below = plan[gen_idx:]
+    for line in below.splitlines():
+        if "Filter" in line:
+            assert "ACOS" not in line, "candidate tree re-inlined into a filter"
+
+
+def test_knn_kring_plan_has_no_dedup_aggregate(spark):
+    """The ring is array_distinct and places join on a single cell, so the
+    only aggregate-ish operator allowed is the top-k Window."""
+    q = spark.createDataFrame(
+        pd.DataFrame({"query_id": [1, 2], "lat": [10.0, 20.0], "lon": [30.0, 40.0]}))
+    p = spark.createDataFrame(
+        pd.DataFrame({"place_id": [1, 2, 3], "lat": [10.0, 21.0, 50.0], "lon": [30.0, 41.0, 60.0]}))
+    plan = _plan(knn.knn_kring(q, p, k=2, res=2, ring=1))
+    assert "HashAggregate" not in plan and "ObjectHashAggregate" not in plan
+    assert "Window" in plan  # the top-k itself
