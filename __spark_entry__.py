@@ -424,6 +424,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return textstats.document_stats(_t(spark, sf, "documents")).orderBy("doc_id")
     q["q_doc_stats"] = q_doc_stats
 
+    # ---- PII scrub (URL/email/phone -> placeholders). The fixture text has
+    # no PII, so the query plants deterministic PII per doc_id FIRST — the
+    # scrub then does real work the oracle verifies byte-for-byte
+    def q_scrub_pii(spark, sf):
+        d = _t(spark, sf, "documents")
+        seeded = F.concat(
+            F.col("text"), F.lit(" contact u"), F.col("doc_id").cast("string"),
+            F.lit("@mail-"), F.col("doc_id").cast("string"),
+            F.lit(".example.org via https://site.example/p/"),
+            F.col("doc_id").cast("string"), F.lit(" or +1 (555) 010-"),
+            F.lpad(F.pmod(F.col("doc_id"), 10000).cast("string"), 4, "0"),
+        )
+        return d.select(
+            "doc_id",
+            textstats.scrub_pii(seeded).alias("scrubbed"),
+            F.regexp_count(seeded, F.lit(textstats.PII_PATTERNS[0][0])).cast("long").alias("n_urls"),
+            F.regexp_count(seeded, F.lit(textstats.PII_PATTERNS[1][0])).cast("long").alias("n_emails"),
+        ).orderBy("doc_id")
+    q["q_scrub_pii"] = q_scrub_pii
+
+    # ---- token-window chunking (context-window splitter)
+    def q_chunks(spark, sf):
+        return textstats.chunk_documents(
+            _t(spark, sf, "documents"), chunk_size=64, overlap=16
+        ).orderBy("doc_id", "chunk_id")
+    q["q_chunks"] = q_chunks
+
     # ---- dedup exact (hash groupBy)
     def q_dedup_exact(spark, sf):
         d = _t(spark, sf, "documents")
@@ -1017,6 +1044,43 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_apply_changes": apply_changes_sql,
         "q_doc_stats": doc_stats_sql,
+        "q_scrub_pii": r"""
+            WITH s AS (
+              SELECT doc_id,
+                     text || ' contact u' || CAST(doc_id AS VARCHAR)
+                          || '@mail-' || CAST(doc_id AS VARCHAR)
+                          || '.example.org via https://site.example/p/'
+                          || CAST(doc_id AS VARCHAR)
+                          || ' or +1 (555) 010-'
+                          || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS seeded
+              FROM documents
+            )
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(seeded,
+                       'https?://[^\s]+', '<URL>', 'g'),
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       '\+?[0-9][0-9()\s.-]{7,}[0-9]', '<PHONE>', 'g') AS scrubbed,
+                   CAST(len(regexp_extract_all(seeded, 'https?://[^\s]+')) AS BIGINT) AS n_urls,
+                   CAST(len(regexp_extract_all(seeded,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails
+            FROM s ORDER BY doc_id
+        """,
+        "q_chunks": r"""
+            WITH t AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+              FROM documents WHERE trim(text) <> ''
+            ), c AS (
+              SELECT doc_id, toks,
+                     CAST(greatest(1, ceil((len(toks) - 16) / 48.0)) AS INT) AS nc
+              FROM t
+            ), e AS (
+              SELECT doc_id, toks, unnest(range(nc)) AS chunk_id FROM c
+            )
+            SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+                   array_to_string(toks[chunk_id*48+1 : chunk_id*48+64], ' ') AS chunk_text,
+                   CAST(len(toks[chunk_id*48+1 : chunk_id*48+64]) AS BIGINT) AS n_chunk_tokens
+            FROM e ORDER BY doc_id, chunk_id
+        """,
         "q_dedup_exact": """
             SELECT md5(text) AS fp, COUNT(*) AS n_dups, MIN(doc_id) AS canonical_doc_id
             FROM documents GROUP BY 1 ORDER BY fp

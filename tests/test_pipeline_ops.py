@@ -422,3 +422,42 @@ def test_within_distance_candidate_cells_explode_factor(spark):
     assert mid <= 30, f"mid-latitude ring {mid} cells"
     # polar rows legitimately need full-circle bands (45 lon cells at res 0)
     assert polar > 45, f"polar ring {polar} — full-circle fallback missing"
+
+
+# ---------------------------------------------------------- scrub / chunking
+
+def test_scrub_pii_replaces_all_three_kinds(spark):
+    df = spark.createDataFrame([
+        (1, "write bob.smith+x@test.org or see https://ex.com/a?u=p@q now"),
+        (2, "call +1 (555) 123-4567 twice: 555.123.4567 done"),
+        (3, "clean text with no identifiers"),
+    ], "doc_id long, text string")
+    got = {r["doc_id"]: r["s"] for r in
+           df.select("doc_id", textstats.scrub_pii(F.col("text")).alias("s")).collect()}
+    # the URL is replaced FIRST, so its embedded '@' never becomes an email
+    assert got[1] == "write <EMAIL> or see <URL> now"
+    assert got[2] == "call <PHONE> twice: <PHONE> done"
+    assert got[3] == "clean text with no identifiers"
+
+
+def test_chunk_documents_windows_and_edges(spark):
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(100))), (2, "a b"), (3, "   ")],
+        "doc_id long, text string")
+    rows = textstats.chunk_documents(docs, chunk_size=48, overlap=8)\
+        .orderBy("doc_id", "chunk_id").collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: stride 40 -> chunks [0..47], [40..87], [80..99]
+    assert [r["n_chunk_tokens"] for r in by_doc[1]] == [48, 48, 20]
+    assert by_doc[1][1]["chunk_text"].split()[0] == "t40"
+    assert by_doc[1][2]["chunk_text"].split()[-1] == "t99"
+    # overlap: last 8 tokens of chunk 0 == first 8 of chunk 1
+    c0, c1 = by_doc[1][0]["chunk_text"].split(), by_doc[1][1]["chunk_text"].split()
+    assert c0[-8:] == c1[:8]
+    # short doc -> one short chunk; blank doc -> no chunks
+    assert [r["n_chunk_tokens"] for r in by_doc[2]] == [2]
+    assert 3 not in by_doc
+    with pytest.raises(ValueError):
+        textstats.chunk_documents(docs, chunk_size=8, overlap=8)

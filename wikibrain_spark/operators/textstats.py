@@ -137,3 +137,65 @@ def document_stats(documents: DataFrame, text_col: str = "text") -> DataFrame:
         best.alias("lang_detected"),
         fingerprint(F.col("__t")).alias("fp"),
     )
+
+
+# ----------------------------------------------------------------- scrubbing
+
+# RE2-compatible (no lookaround) so Spark's Java regex and the DuckDB
+# oracle match byte-for-byte; applied in THIS order (URLs may contain '@'
+# or digit runs, so they are replaced before the email/phone patterns)
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"https?://[^\s]+", "<URL>"),
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\+?[0-9][0-9()\s.-]{7,}[0-9]", "<PHONE>"),
+]
+
+
+def scrub_pii(text: Column) -> Column:
+    """Replace URLs, emails, and phone-shaped digit runs with placeholder
+    tokens — the standard pre-training scrub pass, as a pure native
+    regexp_replace chain (whole-stage codegen, no Python)."""
+    out = text
+    for pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+# ------------------------------------------------------------------ chunking
+
+def chunk_documents(
+    documents: DataFrame,
+    chunk_size: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, chunk_id, chunk_text, n_chunk_tokens): overlapping
+    token-window chunks — the context-window splitter of a training
+    pipeline. Fully native (split -> sequence -> explode -> slice), so the
+    chunk enumeration is SQL-expressible for the exact oracle; blank docs
+    yield no chunks; the final chunk may be short (it is NOT padded)."""
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be < chunk_size")
+    step = chunk_size - overlap
+    toks = F.split(F.trim(F.col(text_col)), r"\s+", -1)
+    d = (
+        documents.where(F.trim(F.col(text_col)) != "")
+        .select("doc_id", toks.alias("toks"))
+        .withColumn(
+            "nc",
+            F.greatest(
+                F.lit(1),
+                F.ceil((F.size("toks") - F.lit(overlap)) / F.lit(step)),
+            ).cast("int"),
+        )
+    )
+    piece = F.slice(F.col("toks"), F.col("chunk_id") * step + 1, chunk_size)
+    return (
+        d.select("doc_id", "toks", F.explode(F.sequence(F.lit(0), F.col("nc") - 1)).alias("chunk_id"))
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.array_join(piece, " ").alias("chunk_text"),
+            F.size(piece).cast("long").alias("n_chunk_tokens"),
+        )
+    )
