@@ -451,6 +451,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("doc_id", "chunk_id")
     q["q_chunks"] = q_chunks
 
+    # ---- Gopher quality rules (Rae et al. 2021 corpus filters)
+    def q_gopher_rules(spark, sf):
+        return textstats.gopher_quality(_t(spark, sf, "documents")).orderBy("doc_id")
+    q["q_gopher_rules"] = q_gopher_rules
+
     # ---- dedup exact (hash groupBy)
     def q_dedup_exact(spark, sf):
         d = _t(spark, sf, "documents")
@@ -1064,6 +1069,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(seeded,
                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails
             FROM s ORDER BY doc_id
+        """,
+        "q_gopher_rules": r"""
+            WITH g AS (
+              SELECT doc_id, trim(text) AS t, text FROM documents
+            ), m AS (
+              SELECT doc_id,
+                CASE WHEN t = '' THEN 0 ELSE len(string_split_regex(t, '\s+')) END AS n_words,
+                length(regexp_replace(t, '\s', '', 'g')) AS word_chars,
+                len(string_split(text, chr(10))) AS n_lines,
+                len(regexp_extract_all(text, '(?m)^\s*[-*]')) AS n_bullets,
+                length(t) - length(replace(t, '#', '')) AS n_hash,
+                (length(t) - length(replace(t, '...', ''))) / 3 AS n_ellipsis
+              FROM g
+            ), e AS (
+              SELECT doc_id, n_words,
+                CASE WHEN n_words > 0 THEN CAST(floor(word_chars * 1000 / n_words) AS BIGINT) ELSE 0 END AS mean_word_len_e3,
+                CAST(floor(n_bullets * 1000 / n_lines) AS BIGINT) AS bullet_line_frac_e3,
+                CASE WHEN n_words > 0 THEN CAST(floor((n_hash + n_ellipsis) * 1000 / n_words) AS BIGINT) ELSE 0 END AS symbol_per_word_e3
+              FROM m
+            )
+            SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+                   mean_word_len_e3, bullet_line_frac_e3, symbol_per_word_e3,
+                   (n_words >= 50 AND n_words <= 100000
+                    AND mean_word_len_e3 >= 3000 AND mean_word_len_e3 <= 10000
+                    AND bullet_line_frac_e3 < 900 AND symbol_per_word_e3 <= 100) AS gopher_pass
+            FROM e ORDER BY doc_id
         """,
         "q_chunks": r"""
             WITH t AS (

@@ -461,3 +461,20 @@ def test_chunk_documents_windows_and_edges(spark):
     assert 3 not in by_doc
     with pytest.raises(ValueError):
         textstats.chunk_documents(docs, chunk_size=8, overlap=8)
+
+
+def test_gopher_rules_thresholds(spark):
+    """Each rule flips the pass flag independently: a clean 60-word doc
+    passes; too-short, bullet-heavy, and symbol-heavy docs fail on exactly
+    the intended metric."""
+    df = spark.createDataFrame([
+        (1, " ".join(["word"] * 60)),
+        (2, " ".join(["ok"] * 10)),                      # < 50 words
+        (3, "\n".join(["- item " + "x " * 30] * 10)),    # 100% bullet lines
+        (4, " ".join(["word"] * 60) + " " + "# " * 20),  # symbol heavy
+    ], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in textstats.gopher_quality(df).collect()}
+    assert got[1]["gopher_pass"] is True
+    assert got[2]["gopher_pass"] is False and got[2]["n_words"] == 10
+    assert got[3]["gopher_pass"] is False and got[3]["bullet_line_frac_e3"] == 1000
+    assert got[4]["gopher_pass"] is False and got[4]["symbol_per_word_e3"] > 100

@@ -199,3 +199,46 @@ def chunk_documents(
             F.size(piece).cast("long").alias("n_chunk_tokens"),
         )
     )
+
+
+# -------------------------------------------------------------- gopher rules
+
+def gopher_quality(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, public
+    method): per-doc word count, mean word length, bullet-line fraction,
+    and #/ellipsis symbol density, plus the combined pass flag used to
+    filter pre-training corpora. Pure native expressions; ratios are
+    emitted as floor(x*1000) integers so the DuckDB oracle hashes
+    identically (no float round-off in the compare)."""
+    t = F.trim(F.col(text_col))
+    n_words = F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+", -1)))
+    word_chars = F.length(F.regexp_replace(t, r"\s", ""))
+    mean_wl_e3 = F.when(
+        n_words > 0, F.floor(word_chars * 1000 / n_words)
+    ).otherwise(F.lit(0)).cast("long")
+    n_lines = F.size(F.split(F.col(text_col), "\n", -1))
+    n_bullets = F.regexp_count(F.col(text_col), F.lit(r"(?m)^\s*[-*]"))
+    bullet_e3 = F.floor(n_bullets * 1000 / n_lines).cast("long")
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))
+    ) / 3
+    sym_e3 = F.when(
+        n_words > 0, F.floor((n_hash + n_ellipsis) * 1000 / n_words)
+    ).otherwise(F.lit(0)).cast("long")
+    # the published thresholds: 50..100k words, mean word length 3..10,
+    # <90% bullet lines, <=0.1 symbols per word (subset of the full rule
+    # set that is exactly expressible without a model)
+    gopher_pass = (
+        (n_words >= 50) & (n_words <= 100_000)
+        & (mean_wl_e3 >= 3000) & (mean_wl_e3 <= 10_000)
+        & (bullet_e3 < 900) & (sym_e3 <= 100)
+    )
+    return documents.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        mean_wl_e3.alias("mean_word_len_e3"),
+        bullet_e3.alias("bullet_line_frac_e3"),
+        sym_e3.alias("symbol_per_word_e3"),
+        gopher_pass.alias("gopher_pass"),
+    )
