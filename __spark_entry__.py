@@ -475,6 +475,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("doc_a", "doc_b")
     q["q_dedup_jaccard"] = q_dedup_jaccard
 
+    # ---- near-dup cluster collapse: connected components over the exact
+    # token-Jaccard pair graph, min-id representative per cluster (the
+    # pipeline step that turns pairs into a keep/drop decision)
+    def q_dedup_clusters(spark, sf):
+        pairs = dedup.token_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.60)
+        return dedup.near_dup_clusters(pairs).orderBy("doc_id")
+    q["q_dedup_clusters"] = q_dedup_clusters
+
     # ---- dedup minhash LSH (rows-only; verified vs exact jaccard in pytest)
     def q_dedup_minhash(spark, sf):
         return dedup.minhash_lsh_pairs(
@@ -1117,6 +1125,23 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1 ORDER BY fp
         """,
         "q_dedup_jaccard": jaccard_sql,
+        # connected components over the SAME pair graph: reflexive-closure
+        # reachability via a recursive CTE, min reachable id per node
+        "q_dedup_clusters": f"""
+            WITH RECURSIVE pairs AS ({jaccard_sql}),
+            e AS (
+              SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION
+              SELECT doc_b, doc_a FROM pairs
+            ),
+            reach(src, dst) AS (
+              SELECT a, a FROM (SELECT DISTINCT a FROM e)
+              UNION
+              SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a
+            )
+            SELECT src AS doc_id, MIN(dst) AS cluster_id
+            FROM reach GROUP BY src ORDER BY doc_id
+        """,
         "q_ann_topk": ann_sql,
         "q_embedding_neardup": """
             WITH d AS (SELECT vec_id, embedding, label FROM embeddings)

@@ -478,3 +478,15 @@ def test_gopher_rules_thresholds(spark):
     assert got[2]["gopher_pass"] is False and got[2]["n_words"] == 10
     assert got[3]["gopher_pass"] is False and got[3]["bullet_line_frac_e3"] == 1000
     assert got[4]["gopher_pass"] is False and got[4]["symbol_per_word_e3"] > 100
+
+
+def test_near_dup_clusters_components(spark):
+    """Chain, pair, and triangle components collapse to min-id
+    representatives; singletons (docs in no pair) are not emitted."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "doc_a long, doc_b long")
+    got = sorted((r["doc_id"], r["cluster_id"])
+                 for r in dedup.near_dup_clusters(pairs).collect())
+    assert got == [(1, 1), (2, 1), (3, 1), (4, 1), (5, 1),
+                   (10, 10), (11, 10), (20, 20), (21, 20), (22, 20)]

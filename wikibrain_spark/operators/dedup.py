@@ -450,3 +450,45 @@ def embedding_near_dup_pairs_lsh(
     return pairs.where(sim >= threshold).select(
         "id_a", "id_b", F.floor(sim * 1000).cast("long").alias("sim_e3"),
     )
+
+
+def near_dup_clusters(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iterations: int = 30,
+) -> DataFrame:
+    """(doc_id, cluster_id) — connected components over the near-dup pair
+    graph, cluster_id = MIN doc id in the component (the deterministic
+    survivor a dedup pipeline keeps; every other member is the drop set).
+
+    Iterative min-label propagation to fixpoint, the same driver-controlled
+    loop shape as the ontology closure: each round pushes labels one hop
+    across the (symmetrized, broadcast-size-agnostic) edge list with a
+    groupBy-min — map-side partial aggregation keeps the shuffle at one
+    row per node — and converges in O(component diameter) rounds, which
+    for near-dup graphs is small (clusters are dense). Nodes are the pair
+    endpoints; singleton documents are not emitted (they are their own
+    trivial cluster by definition)."""
+    e = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .union(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        e.select(F.col("a").alias("id")).distinct()
+        .select("id", F.col("id").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        neigh = labels.join(e, labels["id"] == e["a"]).select(
+            F.col("b").alias("id"), "label"
+        )
+        new_labels = (
+            labels.union(neigh).groupBy("id").agg(F.min("label").alias("label"))
+        ).localCheckpoint()
+        if new_labels.join(labels, ["id", "label"], "left_anti").isEmpty():
+            break
+        labels = new_labels
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
