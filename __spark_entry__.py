@@ -456,6 +456,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return textstats.gopher_quality(_t(spark, sf, "documents")).orderBy("doc_id")
     q["q_gopher_rules"] = q_gopher_rules
 
+    # ---- within-doc bigram repetition (Gopher/C4 repetition signal)
+    def q_repetition(spark, sf):
+        return textstats.ngram_repetition(_t(spark, sf, "documents")).orderBy("doc_id")
+    q["q_repetition"] = q_repetition
+
     # ---- dedup exact (hash groupBy)
     def q_dedup_exact(spark, sf):
         d = _t(spark, sf, "documents")
@@ -1103,6 +1108,23 @@ def oracle_sql() -> dict[str, str]:
                     AND mean_word_len_e3 >= 3000 AND mean_word_len_e3 <= 10000
                     AND bullet_line_frac_e3 < 900 AND symbol_per_word_e3 <= 100) AS gopher_pass
             FROM e ORDER BY doc_id
+        """,
+        "q_repetition": r"""
+            WITH t AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+              FROM documents WHERE trim(text) <> ''
+            ), g AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) >= 2
+                          THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+                          ELSE [] END AS grams
+              FROM t
+            )
+            SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_bigrams,
+                   CASE WHEN len(grams) > 0
+                        THEN CAST(floor((len(grams) - len(list_distinct(grams))) * 1000 / len(grams)) AS BIGINT)
+                        ELSE 0 END AS dup_bigram_frac_e3
+            FROM g ORDER BY doc_id
         """,
         "q_chunks": r"""
             WITH t AS (

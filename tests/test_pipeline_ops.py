@@ -490,3 +490,13 @@ def test_near_dup_clusters_components(spark):
                  for r in dedup.near_dup_clusters(pairs).collect())
     assert got == [(1, 1), (2, 1), (3, 1), (4, 1), (5, 1),
                    (10, 10), (11, 10), (20, 20), (21, 20), (22, 20)]
+
+
+def test_ngram_repetition_values(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "all tokens unique here now"), (3, "one"), (4, "  ")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_bigrams"], r["dup_bigram_frac_e3"])
+           for r in textstats.ngram_repetition(df).collect()}
+    # 5 bigrams, 2 distinct -> floor(3/5 * 1000) = 600
+    assert got == {1: (5, 600), 2: (4, 0), 3: (0, 0)}

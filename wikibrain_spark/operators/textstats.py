@@ -242,3 +242,31 @@ def gopher_quality(documents: DataFrame, text_col: str = "text") -> DataFrame:
         sym_e3.alias("symbol_per_word_e3"),
         gopher_pass.alias("gopher_pass"),
     )
+
+
+def ngram_repetition(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_bigrams, dup_bigram_frac_e3): fraction of repeated word
+    bigrams within the document — the Gopher/C4 repetition signal that
+    catches boilerplate and degenerate generations. The bigram list is a
+    small per-row HOF over the token array (bounded by document length,
+    never a join side), and the fraction is floor(x*1000) for an exact
+    integer oracle."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+", -1)
+    d = documents.where(F.trim(F.col(text_col)) != "").select("doc_id", toks.alias("toks"))
+    # NB: F.sequence(1, 0) counts DOWN ([1, 0]) rather than yielding an
+    # empty array, so single-token docs need the explicit guard
+    grams = F.when(
+        F.size("toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 1),
+            lambda i: F.concat_ws(" ", F.element_at("toks", i), F.element_at("toks", i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    d = d.select("doc_id", grams.alias("grams"))
+    n = F.size("grams")
+    dup_frac_e3 = F.when(
+        n > 0, F.floor((n - F.size(F.array_distinct("grams"))) * 1000 / n)
+    ).otherwise(F.lit(0)).cast("long")
+    return d.select(
+        "doc_id", n.cast("long").alias("n_bigrams"), dup_frac_e3.alias("dup_bigram_frac_e3")
+    )
