@@ -47,6 +47,22 @@ DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data", "syn
 SIMHASH_STAGE_DIR = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "data", "stage", "simhash_signatures"
 )
+# the other three seed-deterministic approximate ops use the same
+# stage-then-re-enumerate pattern (round-3 verdict #1): Spark writes its
+# intermediate signature/assignment tables, DuckDB independently rebuilds
+# the identical candidate set and verifies/ranks from there
+MINHASH_STAGE_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "data", "stage", "minhash_bands"
+)
+ANN_LSH_STAGE_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "data", "stage", "ann_lsh_signatures"
+)
+ANN_IVF_ASSIGN_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "data", "stage", "ann_ivf_assign"
+)
+ANN_IVF_PROBE_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "data", "stage", "ann_ivf_probes"
+)
 
 # deterministic derived coordinates (integer arithmetic -> exact in both
 # engines): events become points, nations become places
@@ -361,6 +377,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q_within_distance"] = q_within_distance
 
+    # ---- big-big variant: same pairs via the salted SHUFFLE strategy
+    # (hot_cell_threshold forced low so the salting path actually executes
+    # at driver scale — at production scale the default 1M threshold means
+    # only genuinely hot cells pay the replication)
+    def q_within_distance_shuffle(spark, sf):
+        ev = _event_points(spark, sf).withColumnRenamed("event_id", "left_id")
+        places = _t(spark, sf, "nation").select(
+            F.col("n_nationkey").alias("right_id"),
+            F.expr(PLACE_LAT).alias("lat"), F.expr(PLACE_LON).alias("lon"),
+        )
+        return knn.within_distance_join_shuffle(
+            ev, places, km=1500.0, hot_cell_threshold=50, n_salt=4
+        ).orderBy("left_id", "right_id")
+    q["q_within_distance_shuffle"] = q_within_distance_shuffle
+
     # ---- ontology closure (J7: iterative frontier join vs recursive CTE)
     def q_closure(spark, sf):
         n = _t(spark, sf, "nation")
@@ -488,12 +519,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup.near_dup_clusters(pairs).orderBy("doc_id")
     q["q_dedup_clusters"] = q_dedup_clusters
 
-    # ---- dedup minhash LSH (rows-only; verified vs exact jaccard in pytest)
+    # ---- dedup minhash LSH: seed-deterministic, so EXACT oracle via the
+    # staged banding table — Spark writes (doc_id, grams, band_id,
+    # band_hash), DuckDB re-enumerates the same band-collision candidates
+    # and re-verifies the same exact Jaccard (the banding construction is
+    # the implementation; the pair-set spec is the staged table)
     def q_dedup_minhash(spark, sf):
-        return dedup.minhash_lsh_pairs(
-            _t(spark, sf, "documents"),
-            n_perms=16, n_bands=4, threshold=0.60,
-        ).orderBy("doc_a", "doc_b")
+        banded = dedup.minhash_banded(
+            _t(spark, sf, "documents"), n_perms=16, n_bands=4
+        )
+        banded.write.mode("overwrite").parquet(MINHASH_STAGE_DIR)
+        staged = spark.read.parquet(MINHASH_STAGE_DIR)
+        return dedup.minhash_pairs_from_banded(staged, threshold=0.60).orderBy(
+            "doc_a", "doc_b"
+        )
     q["q_dedup_minhash"] = q_dedup_minhash
 
     # ---- dedup simhash: deterministic FULL recall at the radius, so it has
@@ -516,19 +555,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("query_id", "rank")
     q["q_ann_topk"] = q_ann_topk
 
-    # ---- ANN LSH (rows-only; recall vs brute force tested in pytest)
+    # ---- ANN LSH: seeded hyperplanes are deterministic, so EXACT oracle
+    # via the staged (vec_id, table_id, bucket) signature table; DuckDB
+    # rebuilds the bucket-collision candidate set and ranks by the same
+    # cosine (recall vs brute force additionally pinned in pytest)
     def q_ann_lsh(spark, sf):
+        emb = _t(spark, sf, "embeddings")
+        sig = simsearch.hyperplane_signatures(emb, n_planes=4, n_tables=8)
+        sig.write.mode("overwrite").parquet(ANN_LSH_STAGE_DIR)
+        staged = spark.read.parquet(ANN_LSH_STAGE_DIR)
         return simsearch.cosine_topk_lsh(
-            _t(spark, sf, "embeddings"), list(range(10)), k=5, n_planes=4, n_tables=8
+            emb, list(range(10)), k=5, signatures=staged
         ).orderBy("query_id", "rank")
     q["q_ann_lsh"] = q_ann_lsh
 
-    # ---- ANN IVF (rows-only; full-probe==brute-force + partial-probe
-    # recall + pure-JVM assignment plan pinned in pytest)
+    # ---- ANN IVF: the trained quantizer is seed-deterministic, so EXACT
+    # oracle via the staged cell tables — Spark writes each vector's
+    # (neighbor_id, ivf_cell) assignment and each query's probed
+    # (query_id, ivf_cell) list; DuckDB joins them and ranks by the same
+    # cosine (full-probe==brute-force anchor additionally pinned in pytest)
     def q_ann_ivf(spark, sf):
-        return simsearch.cosine_topk_ivf(
-            _t(spark, sf, "embeddings"), list(range(10)), k=5,
-            n_centroids=16, n_probe=8,
+        emb = _t(spark, sf, "embeddings")
+        cents = simsearch.train_ivf_centroids(emb, n_centroids=16)
+        assigned = simsearch.ivf_assign(emb, cents).select("neighbor_id", "ivf_cell")
+        probes = simsearch.ivf_probes(emb, cents, list(range(10)), n_probe=8)
+        assigned.write.mode("overwrite").parquet(ANN_IVF_ASSIGN_DIR)
+        probes.write.mode("overwrite").parquet(ANN_IVF_PROBE_DIR)
+        return simsearch.cosine_topk_from_cells(
+            emb,
+            spark.read.parquet(ANN_IVF_ASSIGN_DIR),
+            spark.read.parquet(ANN_IVF_PROBE_DIR),
+            k=5,
         ).orderBy("query_id", "rank")
     q["q_ann_ivf"] = q_ann_ivf
 
@@ -1044,6 +1101,15 @@ def oracle_sql() -> dict[str, str]:
             WHERE {haversine_km_sql("a.lat", "a.lon", "p.lat", "p.lon")} <= 1500.0
             ORDER BY left_id, right_id
         """,
+        "q_within_distance_shuffle": f"""
+            WITH ev AS ({events_pts}),
+                 pl AS ({places})
+            SELECT a.event_id AS left_id, p.place_id AS right_id,
+                   CAST(floor({haversine_km_sql("a.lat", "a.lon", "p.lat", "p.lon")} * 1000) AS BIGINT) AS dist_km_e3
+            FROM ev a CROSS JOIN pl p
+            WHERE {haversine_km_sql("a.lat", "a.lon", "p.lat", "p.lon")} <= 1500.0
+            ORDER BY left_id, right_id
+        """,
         "q_closure": closure_sql,
         "q_priority_top1": """
             WITH langs(rank, lang) AS (VALUES (0,'en'),(1,'de'),(2,'fr'),(3,'nl'),(4,'ru')),
@@ -1191,8 +1257,80 @@ def oracle_sql() -> dict[str, str]:
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
             ORDER BY doc_a, doc_b
         """,
-        # q_dedup_minhash, q_ann_lsh, q_ann_ivf: genuinely approximate
-        # operators with no SQL equivalent -> rows-only driver check; their
-        # recall/precision (and for IVF the full-probe==bruteforce anchor)
-        # is pinned against exact kernels in tests/test_pipeline_ops.py
+        # minhash / ann-lsh / ann-ivf are approximate vs GROUND TRUTH but
+        # deterministic given their seeds, so (round-3 verdict #1) each gets
+        # an exact oracle via its staged intermediate table: DuckDB
+        # independently re-enumerates the candidate set from the staged
+        # signatures/assignments and re-verifies/ranks — same pattern as
+        # q_dedup_simhash. Ground-truth recall stays pinned in pytest.
+        "q_dedup_minhash": f"""
+            WITH b AS (SELECT doc_id, grams, band_id, band_hash
+                       FROM read_parquet('{MINHASH_STAGE_DIR}/*.parquet')),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+              FROM b a JOIN b b2
+                ON a.band_id = b2.band_id AND a.band_hash = b2.band_hash
+               AND a.doc_id < b2.doc_id
+            ),
+            g AS (SELECT DISTINCT doc_id, grams FROM b),
+            j AS (
+              SELECT c.doc_a, c.doc_b,
+                     len(list_intersect(ga.grams, gb.grams)) AS icnt,
+                     len(list_distinct(list_concat(ga.grams, gb.grams))) AS ucnt
+              FROM cand c
+              JOIN g ga ON c.doc_a = ga.doc_id
+              JOIN g gb ON c.doc_b = gb.doc_id
+            )
+            SELECT doc_a, doc_b,
+                   CAST(floor((icnt / ucnt) * 10000) AS BIGINT) AS jaccard_e4
+            FROM j WHERE (icnt / ucnt) >= 0.60
+            ORDER BY doc_a, doc_b
+        """,
+        "q_ann_lsh": f"""
+            WITH s AS (SELECT vec_id, table_id, bucket
+                       FROM read_parquet('{ANN_LSH_STAGE_DIR}/*.parquet')),
+            qsig AS (SELECT vec_id AS query_id, table_id, bucket FROM s WHERE vec_id < 10),
+            cand AS (
+              SELECT DISTINCT q.query_id, s.vec_id AS neighbor_id
+              FROM s JOIN qsig q ON s.table_id = q.table_id AND s.bucket = q.bucket
+              WHERE s.vec_id <> q.query_id
+            ),
+            scored AS (
+              SELECT c.query_id, c.neighbor_id,
+                     row_number() OVER (
+                       PARTITION BY c.query_id
+                       ORDER BY list_cosine_similarity(nb.embedding, qb.embedding) DESC,
+                                c.neighbor_id ASC
+                     ) AS rank
+              FROM cand c
+              JOIN embeddings nb ON c.neighbor_id = nb.vec_id
+              JOIN embeddings qb ON c.query_id = qb.vec_id
+            )
+            SELECT query_id, neighbor_id, rank FROM scored WHERE rank <= 5
+            ORDER BY query_id, rank
+        """,
+        "q_ann_ivf": f"""
+            WITH a AS (SELECT neighbor_id, ivf_cell
+                       FROM read_parquet('{ANN_IVF_ASSIGN_DIR}/*.parquet')),
+            p AS (SELECT query_id, ivf_cell
+                  FROM read_parquet('{ANN_IVF_PROBE_DIR}/*.parquet')),
+            cand AS (
+              SELECT p.query_id, a.neighbor_id
+              FROM a JOIN p USING (ivf_cell)
+              WHERE a.neighbor_id <> p.query_id
+            ),
+            scored AS (
+              SELECT c.query_id, c.neighbor_id,
+                     row_number() OVER (
+                       PARTITION BY c.query_id
+                       ORDER BY list_cosine_similarity(nb.embedding, qb.embedding) DESC,
+                                c.neighbor_id ASC
+                     ) AS rank
+              FROM cand c
+              JOIN embeddings nb ON c.neighbor_id = nb.vec_id
+              JOIN embeddings qb ON c.query_id = qb.vec_id
+            )
+            SELECT query_id, neighbor_id, rank FROM scored WHERE rank <= 5
+            ORDER BY query_id, rank
+        """,
     }

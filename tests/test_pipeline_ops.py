@@ -337,6 +337,32 @@ def test_within_distance_join_matches_crossjoin(spark):
     assert got == want and want
 
 
+def test_within_distance_join_shuffle_matches_broadcast(spark):
+    """Big-big salted shuffle variant returns exactly the broadcast
+    variant's pairs (and the cross-join ground truth), with the salting
+    path FORCED (hot_cell_threshold below real cell counts) so replication
+    + scatter correctness is exercised, not just the cold path."""
+    rng = np.random.default_rng(11)
+    # clustered layout: most points share a few cells -> genuinely hot keys
+    a = spark.createDataFrame(pd.DataFrame({
+        "left_id": range(400),
+        "lat": np.concatenate([rng.uniform(40, 42, 300), rng.uniform(-84, 84, 100)]),
+        "lon": np.concatenate([rng.uniform(10, 12, 300), rng.uniform(-179, 179, 100)])}))
+    b = spark.createDataFrame(pd.DataFrame({
+        "right_id": range(60),
+        "lat": rng.uniform(-84, 84, 60), "lon": rng.uniform(-179, 179, 60)}))
+    want = _crossjoin_pairs(a, b, 800.0)
+    got_broadcast = {(r["left_id"], r["right_id"])
+                     for r in knn.within_distance_join(a, b, km=800.0).collect()}
+    rows = knn.within_distance_join_shuffle(
+        a, b, km=800.0, hot_cell_threshold=20, n_salt=4).collect()
+    got_shuffle = {(r["left_id"], r["right_id"]) for r in rows}
+    assert got_shuffle == got_broadcast == want and want
+    # salting must not duplicate pairs (ring replicated across salts, but
+    # each probe row lands in exactly one salt bucket)
+    assert len(rows) == len(got_shuffle)
+
+
 def test_within_distance_join_over_the_pole(spark):
     """Polar regression (round-2 red oracle): points at |lat| in [81, 85]
     with dlon near 180 deg are within 1500 km OVER the pole even though the
@@ -490,6 +516,66 @@ def test_near_dup_clusters_components(spark):
                  for r in dedup.near_dup_clusters(pairs).collect())
     assert got == [(1, 1), (2, 1), (3, 1), (4, 1), (5, 1),
                    (10, 10), (11, 10), (20, 20), (21, 20), (22, 20)]
+
+
+def test_near_dup_clusters_long_chain_converges(spark):
+    """Round-3 advice (medium): a 41-node chain used to exhaust the one-hop
+    propagation budget (30 rounds < 40-hop diameter) and silently return
+    split clusters. Pointer jumping converges in O(log diameter): the same
+    chain must fully collapse well inside 8 rounds."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(41)], "doc_a long, doc_b long")
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in dedup.near_dup_clusters(pairs, max_iterations=8).collect()}
+    assert got == {i: 0 for i in range(42)}
+
+
+def test_near_dup_clusters_raises_on_nonconvergence(spark):
+    """If the fixpoint is not reached within max_iterations the operator
+    must raise instead of returning wrong labels (round-3 advice)."""
+    import pytest as _pytest
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(41)], "doc_a long, doc_b long")
+    with _pytest.raises(RuntimeError, match="fixpoint"):
+        dedup.near_dup_clusters(pairs, max_iterations=1)
+
+
+def test_simhash_null_text_hashes_to_zero(spark):
+    """NULL text takes the empty-doc branch (simhash 0), so null-text docs
+    band together with empty docs instead of vanishing with a NULL hash."""
+    df = spark.createDataFrame(
+        [(0, None), (1, ""), (2, "   "), (3, "real text here")],
+        "doc_id long, text string")
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash64(df).collect()}
+    assert sh[0] == 0 and sh[1] == 0 and sh[2] == 0 and sh[3] != 0
+    pairs = {(r["doc_a"], r["doc_b"])
+             for r in dedup.simhash_near_pairs(df, max_hamming=3).collect()}
+    assert {(0, 1), (0, 2), (1, 2)} <= pairs
+
+
+def test_ivf_train_guard_small_and_empty(spark):
+    """n_centroids is clamped to the corpus size; an empty corpus raises a
+    descriptive error instead of crashing inside rng.choice."""
+    import pytest as _pytest
+
+    small = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(3)], "vec_id long, embedding array<float>")
+    cents = simsearch.train_ivf_centroids(small, n_centroids=16)
+    assert cents.shape == (3, 2)
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with _pytest.raises(ValueError, match="empty"):
+        simsearch.train_ivf_centroids(empty, n_centroids=4)
+
+
+def test_jaccard_default_guard_is_finite():
+    """The hot-block guard defaults ON (round-3 verdict: the unguarded
+    quadratic-block path must not be the default at scale)."""
+    import inspect
+
+    for fn in (dedup.jaccard_pairs, dedup.token_jaccard_pairs):
+        default = inspect.signature(fn).parameters["max_block_docs"].default
+        assert default is not None and default > 0
 
 
 def test_ngram_repetition_values(spark):

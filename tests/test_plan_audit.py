@@ -64,6 +64,38 @@ def test_within_distance_candidate_projections_stay_staged(spark):
             assert "ACOS" not in line, "candidate tree re-inlined into a filter"
 
 
+def test_within_distance_shuffle_plan_is_salted_shuffle_join(spark):
+    """Big-big variant: the main join must be a SHUFFLED join on
+    (cell, salt) — not a broadcast of either fact side — and stay
+    Python-free. Broadcasts are allowed only for the hot-cell dim.
+    Exactly one shuffled join: the two fact-side exchanges feeding it are
+    the whole shuffle budget (plus the map-side-combined hotness count)."""
+    left = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        F.col("event_id").alias("left_id"),
+        (F.pmod(F.col("event_id") * 7, 160) - 80.0).alias("lat"),
+        (F.pmod(F.col("event_id") * 11, 350) - 175.0).alias("lon"),
+    )
+    right = spark.read.parquet(f"{SF_DIR}/nation.parquet").select(
+        F.col("n_nationkey").alias("right_id"),
+        (F.pmod(F.col("n_nationkey") * 13, 160) - 80.0).alias("lat"),
+        (F.pmod(F.col("n_nationkey") * 17, 350) - 175.0).alias("lon"),
+    )
+    plan = _plan(knn.within_distance_join_shuffle(
+        left, right, km=1500.0, hot_cell_threshold=10, n_salt=4))
+    assert "Python" not in plan
+    shuffled_joins = plan.count("ShuffledHashJoin") + plan.count("SortMergeJoin")
+    assert shuffled_joins == 1, f"expected exactly one shuffled join:\n{plan}"
+    # the shuffled join keys must include the salt (skew treatment active)
+    join_line = next(l for l in plan.splitlines()
+                     if "ShuffledHashJoin" in l or "SortMergeJoin" in l)
+    assert "salt" in join_line and "cell" in join_line
+    # fact-side shuffles only: exactly the 2 exchanges feeding the join
+    # (the hotness count runs once at localCheckpoint time, not per side)
+    stripped = plan.replace("BroadcastExchange", "BX")
+    assert stripped.count("Exchange") <= 2, f"extra shuffles:\n{plan}"
+    assert "HashAggregate" not in plan, "hotness count leaked into the join plan"
+
+
 def test_knn_kring_plan_has_no_dedup_aggregate(spark):
     """The ring is array_distinct and places join on a single cell, so the
     only aggregate-ish operator allowed is the top-k Window."""

@@ -2,11 +2,17 @@
 PIP, apply_changes semantics vs an independent spec implementation."""
 
 import numpy as np
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from wikibrain_spark import codecs
 from wikibrain_spark.geo import cells, pip
+
+# numeric kernels must be warning-clean (expected div/overflow regimes are
+# suppressed inside the kernels via np.errstate); a RuntimeWarning here is a
+# real numeric defect, not noise — fail loudly.
+pytestmark = pytest.mark.filterwarnings("error::RuntimeWarning")
 
 finite_lat = st.floats(min_value=-90.0, max_value=90.0, allow_nan=False)
 finite_lon = st.floats(min_value=-180.0, max_value=180.0, allow_nan=False)

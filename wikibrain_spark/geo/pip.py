@@ -31,7 +31,7 @@ def points_in_ring(lat: np.ndarray, lon: np.ndarray, ring_lat: np.ndarray, ring_
     y = lat[:, None]
     x = lon[:, None]
     crosses = (y0[None, :] > y) != (y1[None, :] > y)
-    with np.errstate(divide="ignore", invalid="ignore"):
+    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
         x_at_y = (x1 - x0)[None, :] * (y - y0[None, :]) / (y1 - y0)[None, :] + x0[None, :]
     hits = crosses & (x < x_at_y)
     return hits.sum(axis=1) % 2 == 1

@@ -51,7 +51,11 @@ def char_ngrams(text: Column, n: int = 3) -> Column:
 
 
 def _blocked_jaccard_core(
-    d: DataFrame, threshold: float, max_block_docs: int | None
+    d: DataFrame,
+    threshold: float,
+    max_block_docs: int | None,
+    hot_perms: int = 64,
+    hot_bands: int = 32,
 ) -> DataFrame:
     """Shared core of the two exact-Jaccard operators. `d` carries
     (doc_id, lang, lbucket, items) with `items` a distinct sorted array.
@@ -97,14 +101,18 @@ def _blocked_jaccard_core(
     )
     if not hot:
         return exact
+    n_perms, n_bands = hot_perms, hot_bands
+    rows_per_band = n_perms // n_bands
+    # banding recall at the verify threshold: P(>=1 band agrees) for a pair
+    # at exactly J = threshold is 1-(1-J^r)^b (higher-J pairs do better)
+    recall_at_t = 1.0 - (1.0 - threshold ** rows_per_band) ** n_bands
     _LOG.warning(
         "jaccard blocked self-join: %d block(s) exceed max_block_docs=%d and are "
-        "routed to the MinHash-banded path (exact verify, probabilistic recall): %s",
-        len(hot), max_block_docs,
+        "routed to the MinHash-banded path (%d perms / %d bands; exact verify, "
+        "probabilistic recall >= %.4f for pairs at J=%.2f): %s",
+        len(hot), max_block_docs, n_perms, n_bands, recall_at_t, threshold,
         [(r["lang"], r["lbucket"], r["_bsz"]) for r in hot[:10]],
     )
-    n_perms, n_bands = 16, 8
-    rows_per_band = n_perms // n_bands
     hotd = (
         dd.where(F.col("_bsz") > max_block_docs)
         .drop("_bsz")
@@ -145,17 +153,23 @@ def jaccard_pairs(
     n: int = 3,
     bucket_chars: int = 100,
     text_col: str = "text",
-    max_block_docs: int | None = None,
+    max_block_docs: int | None = 100_000,
+    hot_perms: int = 64,
+    hot_bands: int = 32,
 ) -> DataFrame:
     """Near-duplicate pairs by exact n-gram Jaccard within (lang, length-
     bucket) blocks: (doc_a, doc_b, jaccard_e4). ``max_block_docs`` routes
-    oversized blocks to a MinHash-banded path (see _blocked_jaccard_core)."""
+    oversized blocks to a MinHash-banded path (see _blocked_jaccard_core);
+    the finite default guarantees no block goes quadratic at scale — pass
+    None only when the caller has bounded blocks by construction.
+    ``hot_perms``/``hot_bands`` tune hot-path recall (default 64/32 -> 2
+    rows per band, recall 1-(1-J^2)^32, ~0.9999 at J=0.5)."""
     d = documents.select(
         "doc_id", F.col("lang"),
         (F.floor(F.length(text_col) / bucket_chars)).alias("lbucket"),
         char_ngrams(F.col(text_col), n).alias("items"),
     )
-    return _blocked_jaccard_core(d, threshold, max_block_docs)
+    return _blocked_jaccard_core(d, threshold, max_block_docs, hot_perms, hot_bands)
 
 
 def token_jaccard_pairs(
@@ -163,19 +177,22 @@ def token_jaccard_pairs(
     threshold: float = 0.3,
     bucket_chars: int = 200,
     text_col: str = "text",
-    max_block_docs: int | None = None,
+    max_block_docs: int | None = 100_000,
+    hot_perms: int = 64,
+    hot_bands: int = 32,
 ) -> DataFrame:
     """Near-duplicate pairs by distinct-token Jaccard within (lang, length-
     bucket) blocks: (doc_a, doc_b, jaccard_e4). Token-set variant of
     jaccard_pairs; its set algebra is expressible in ANSI SQL for the
     oracle gate. ``max_block_docs`` routes oversized blocks to a
-    MinHash-banded path (see _blocked_jaccard_core)."""
+    MinHash-banded path (see _blocked_jaccard_core); the finite default
+    guarantees no block goes quadratic at scale."""
     d = documents.select(
         "doc_id", F.col("lang"),
         (F.floor(F.length(text_col) / bucket_chars)).alias("lbucket"),
         F.array_sort(F.array_distinct(F.split(F.trim(F.col(text_col)), "\\s+", -1))).alias("items"),
     )
-    return _blocked_jaccard_core(d, threshold, max_block_docs)
+    return _blocked_jaccard_core(d, threshold, max_block_docs, hot_perms, hot_bands)
 
 
 def _perm_params(n_perms: int, seed: int = 42) -> list[tuple[int, int]]:
@@ -211,6 +228,38 @@ def minhash_signature(text: Column, n_perms: int = 16, n: int = 3) -> Column:
     return minhash_from_hashes(shingle_hashes(text, n), n_perms)
 
 
+def minhash_banded(
+    documents: DataFrame,
+    n_perms: int = 16,
+    n_bands: int = 4,
+    ngram: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, grams, band_id, band_hash) — the deterministic banding table
+    of the MinHash pipeline (seeded permutations; same input -> same rows).
+    Exposed separately so callers can STAGE it (e.g. to parquet) and an
+    independent engine can re-enumerate the identical candidate set — the
+    exact-oracle seam, mirroring simhash64 / simhash_pairs_from_signatures."""
+    rows_per_band = n_perms // n_bands
+    # staged: grams -> hashes -> sig, each a materialized column so the
+    # shingle subtree appears once in the plan, not n_perms times
+    d = (
+        documents.select("doc_id", char_ngrams(F.col(text_col), ngram).alias("grams"))
+        .withColumn("hashes", F.transform("grams", lambda g: F.pmod(F.xxhash64(g), F.lit(MERSENNE))))
+        .withColumn("sig", minhash_from_hashes(F.col("hashes"), n_perms))
+        .drop("hashes")
+    )
+    return d.select(
+        "doc_id", "grams",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda bnd: F.xxhash64(F.concat_ws("_", F.slice("sig", bnd * rows_per_band + 1, rows_per_band), bnd)),
+            )
+        ).alias("band_id", "band_hash"),
+    )
+
+
 def minhash_lsh_pairs(
     documents: DataFrame,
     n_perms: int = 16,
@@ -222,24 +271,14 @@ def minhash_lsh_pairs(
     """MinHash banding: docs agreeing on any band become candidates, then
     exact Jaccard verifies (the standard shingle->minhash->band->bucket-join
     pipeline). Returns (doc_a, doc_b, jaccard_e4)."""
-    rows_per_band = n_perms // n_bands
-    # staged: grams -> hashes -> sig, each a materialized column so the
-    # shingle subtree appears once in the plan, not n_perms times
-    d = (
-        documents.select("doc_id", char_ngrams(F.col(text_col), ngram).alias("grams"))
-        .withColumn("hashes", F.transform("grams", lambda g: F.pmod(F.xxhash64(g), F.lit(MERSENNE))))
-        .withColumn("sig", minhash_from_hashes(F.col("hashes"), n_perms))
-        .drop("hashes")
+    return minhash_pairs_from_banded(
+        minhash_banded(documents, n_perms, n_bands, ngram, text_col), threshold
     )
-    banded = d.select(
-        "doc_id", "grams",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_bands - 1)),
-                lambda bnd: F.xxhash64(F.concat_ws("_", F.slice("sig", bnd * rows_per_band + 1, rows_per_band), bnd)),
-            )
-        ).alias("band_id", "band_hash"),
-    )
+
+
+def minhash_pairs_from_banded(banded: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Candidate generation + exact-Jaccard verify over a (doc_id, grams,
+    band_id, band_hash) banding table (see minhash_banded)."""
     a = banded.alias("a")
     b = banded.alias("b")
     # size-compatibility prefilter BEFORE the expensive set algebra:
@@ -304,9 +343,11 @@ def simhash64_col(text: Column) -> Column:
     slowest dedup op in BENCH_r01); the bit-hash function is xxhash64 rather
     than md5 — simhash is hash-function agnostic, determinism is preserved.
 
-    Empty/whitespace-only documents hash to 0, preserving the removed
+    Empty/whitespace-only/NULL documents hash to 0, preserving the removed
     Python kernel's convention (split('') yields [''] — without the guard
-    empty docs would share the nonzero hash of the empty-string token)."""
+    empty docs would share the nonzero hash of the empty-string token).
+    NULL text takes the same branch as empty so null-text docs cluster with
+    empty docs instead of vanishing from banding with a NULL hash."""
     hashes = F.transform(
         F.array_distinct(F.split(F.lower(F.trim(text)), "\\s+", -1)),
         lambda t: F.xxhash64(t),
@@ -340,7 +381,9 @@ def simhash64_col(text: Column) -> Column:
         F.lit(0).cast("long"),
         lambda a, x: a.bitwiseOR(x),
     )
-    return F.when(F.trim(text) == "", F.lit(0).cast("long")).otherwise(folded)
+    return F.when(
+        F.coalesce(F.trim(text), F.lit("")) == "", F.lit(0).cast("long")
+    ).otherwise(folded)
 
 
 def simhash64(documents: DataFrame, text_col: str = "text") -> DataFrame:
@@ -462,14 +505,21 @@ def near_dup_clusters(
     graph, cluster_id = MIN doc id in the component (the deterministic
     survivor a dedup pipeline keeps; every other member is the drop set).
 
-    Iterative min-label propagation to fixpoint, the same driver-controlled
-    loop shape as the ontology closure: each round pushes labels one hop
-    across the (symmetrized, broadcast-size-agnostic) edge list with a
-    groupBy-min — map-side partial aggregation keeps the shuffle at one
-    row per node — and converges in O(component diameter) rounds, which
-    for near-dup graphs is small (clusters are dense). Nodes are the pair
-    endpoints; singleton documents are not emitted (they are their own
-    trivial cluster by definition)."""
+    Iterative min-label propagation WITH pointer jumping, the same
+    driver-controlled loop shape as the ontology closure: each round takes,
+    per node, the min over (its own label, its neighbors' labels pushed one
+    hop across the symmetrized edge list, and the label OF its current
+    label — the pointer-doubling shortcut). One-hop alone converges in
+    O(component diameter) rounds and silently mislabels chains longer than
+    the iteration cap; the label-of-label jump halves the remaining
+    distance to the component minimum each round, so convergence is
+    O(log diameter) — a 1M-node chain needs ~20 rounds, not 1M. Each round
+    is two shuffles (the jump self-join + the groupBy-min; map-side partial
+    agg keeps the min shuffle at one row per node). If the fixpoint is NOT
+    reached within ``max_iterations`` the function raises instead of
+    returning wrong cluster labels. Nodes are the pair endpoints; singleton
+    documents are not emitted (they are their own trivial cluster by
+    definition)."""
     e = (
         pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
         .union(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
@@ -481,14 +531,31 @@ def near_dup_clusters(
         .select("id", F.col("id").alias("label"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iterations):
         neigh = labels.join(e, labels["id"] == e["a"]).select(
             F.col("b").alias("id"), "label"
         )
+        # pointer jump: node -> label(label(node)). label ids are node ids
+        # (min over a set containing the node's own id), so the lookup is a
+        # self-join of the label table on (my label == other's id).
+        jump = (
+            labels.alias("x")
+            .join(labels.alias("y"), F.col("x.label") == F.col("y.id"))
+            .select(F.col("x.id").alias("id"), F.col("y.label").alias("label"))
+        )
         new_labels = (
-            labels.union(neigh).groupBy("id").agg(F.min("label").alias("label"))
+            labels.union(neigh).union(jump)
+            .groupBy("id").agg(F.min("label").alias("label"))
         ).localCheckpoint()
         if new_labels.join(labels, ["id", "label"], "left_anti").isEmpty():
+            converged = True
             break
         labels = new_labels
+    if not converged:
+        raise RuntimeError(
+            f"near_dup_clusters: min-label propagation did not reach a fixpoint "
+            f"within max_iterations={max_iterations}; labels would be wrong for "
+            f"components of diameter > 2^{max_iterations}. Raise max_iterations."
+        )
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))

@@ -268,13 +268,33 @@ def within_distance_join(
     was also the stage that pushed whole-stage codegen past Janino's 64 KB
     ceiling.
     """
+    res = _range_res(km, res)
+    probe, ring = _range_probe_ring(left, right, km, res, explode_side)
+    dist = haversine_km_col(F.col("llat"), F.col("llon"), F.col("rlat"), F.col("rlon"))
+    return (
+        probe.join(ring, "cell")
+        .where(dist <= km)
+        .select("left_id", "right_id", F.floor(dist * 1000).cast("long").alias("dist_km_e3"))
+    )
+
+
+def _range_res(km: float, res: int | None) -> int:
     if res is None:
         # coarsest-useful cells: edge >= km/2 keeps the ring rectangle small
         # (a fine grid at a large radius explodes the per-point cell count)
         res = 0
         while res < 10 and cells.hexlite_step(res + 1) * 111.0 >= km / 2.0:
             res += 1
+    return res
 
+
+def _range_probe_ring(
+    left: DataFrame, right: DataFrame, km: float, res: int, explode_side: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared candidate construction of the two range-join strategies:
+    the probe side carries its SINGLE cell, the other side explodes its
+    per-row spherical-cap candidate ring. Together the two frames carry
+    (left_id, llat, llon) and (right_id, rlat, rlon)."""
     if explode_side == "right":
         probe = left.select(
             "left_id", F.col("lat").alias("llat"), F.col("lon").alias("llon"),
@@ -310,9 +330,75 @@ def within_distance_join(
             )
             .where(F.col("cell").isNotNull())
         )
+    return probe, ring
+
+
+def within_distance_join_shuffle(
+    left: DataFrame,
+    right: DataFrame,
+    km: float,
+    res: int | None = None,
+    hot_cell_threshold: int = 1_000_000,
+    n_salt: int = 8,
+    explode_side: str = "right",
+) -> DataFrame:
+    """BIG-BIG distance-band range join: identical semantics and output to
+    :func:`within_distance_join`, but neither side need be broadcastable —
+    the cell equi-join runs as a SHUFFLED join with explicit hot-cell
+    salting (the same skew treatment as spatial_join.shuffle_pip_join).
+
+    Strategy, mirroring the broadcast variant's candidate construction:
+
+    * probe side encodes its single cell; the other side explodes its
+      per-row spherical-cap candidate ring (shared `_range_probe_ring`
+      kernel, so recall/precision are identical by construction);
+    * a hotness pre-pass counts probe rows per cell — the count aggregates
+      map-side, so the pre-pass shuffles one row per DISTINCT cell and the
+      resulting hot-cell list is broadcast-small by definition;
+    * probe rows in a hot cell scatter over `n_salt` sub-keys by id hash;
+      ring rows for a hot cell replicate across all `n_salt` sub-keys —
+      bounding any single task's probe volume at ~threshold/n_salt rows;
+    * the (cell, salt) join is hinted shuffle_hash (no sort needed; the
+      caller chose this variant precisely because the build side is too
+      big to broadcast).
+
+    Use :func:`within_distance_join` when one side is a broadcastable
+    dimension (zero-shuffle narrow plan); use this when both sides are
+    fact-scale (e.g. a 100 TB points x points radius query)."""
+    res = _range_res(km, res)
+    probe, ring = _range_probe_ring(left, right, km, res, explode_side)
+    probe_id = "left_id" if explode_side == "right" else "right_id"
+
+    # localCheckpoint (eager) materializes the metadata-scale hot list ONCE:
+    # it is joined to BOTH sides, and without materialization each join
+    # re-runs the full probe-side count scan (two extra 100 TB scans)
+    hot = (
+        probe.groupBy("cell").count()
+        .where(F.col("count") > hot_cell_threshold)
+        .select("cell", F.lit(n_salt).alias("n_salt"))
+        .localCheckpoint()
+    )
+    ring_salted = (
+        ring.join(F.broadcast(hot), "cell", "left")
+        .withColumn(
+            "salt",
+            F.explode(F.sequence(F.lit(0), F.coalesce(F.col("n_salt"), F.lit(1)) - 1)),
+        )
+        .drop("n_salt")
+    )
+    probe_salted = (
+        probe.join(F.broadcast(hot), "cell", "left")
+        .withColumn(
+            "salt",
+            F.when(F.col("n_salt").isNull(), F.lit(0)).otherwise(
+                F.pmod(F.xxhash64(probe_id), F.col("n_salt")).cast("int")
+            ),
+        )
+        .drop("n_salt")
+    )
     dist = haversine_km_col(F.col("llat"), F.col("llon"), F.col("rlat"), F.col("rlon"))
     return (
-        probe.join(ring, "cell")
+        probe_salted.join(ring_salted.hint("shuffle_hash"), ["cell", "salt"])
         .where(dist <= km)
         .select("left_id", "right_id", F.floor(dist * 1000).cast("long").alias("dist_km_e3"))
     )

@@ -150,12 +150,14 @@ class ResolveConfig:
     # hash join on qid so the driver never materializes the dim
     facts_broadcast_threshold: int = 10_000_000
     # distance kernel for the 20 km headquarters check (J13):
-    # 'haversine' (default; native expression, whole-stage codegen, the
-    # oracle-matching kernel), 'ellipsoidal' (WGS-84 Vincenty pandas UDF —
-    # Karney/geopy-parity at reference thresholds), or 'karney' (full-globe
-    # quadrature-exact WGS-84 inverse, no non-convergence regime; the
-    # reference-parity kernel, geo/geodesic.py)
-    geodesic_kernel: str = "haversine"
+    # 'karney' (default; full-globe quadrature-exact WGS-84 inverse, no
+    # non-convergence regime — the reference-parity kernel, geo/geodesic.py;
+    # it runs only over the small per-QID facts dim so the pandas-UDF cost
+    # is bounded), 'ellipsoidal' (WGS-84 Vincenty pandas UDF), or
+    # 'haversine' (native expression, whole-stage codegen — the SQL-oracle /
+    # bench opt-in; deviates from Karney by up to ±0.12 km at 20 km, so J13
+    # verdicts can differ in the (19.88, 20.12) km band)
+    geodesic_kernel: str = "karney"
 
 
 # =====================================================================

@@ -107,11 +107,14 @@ def cosine_topk_lsh(
     n_tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates share an LSH bucket with the query in
     any table. Recall is tested against the brute-force baseline; at scale
-    the bucket join replaces the cross join."""
-    sig = hyperplane_signatures(
+    the bucket join replaces the cross join. Pass ``signatures`` (a staged
+    (id, table_id, bucket) table from hyperplane_signatures) to pin the
+    exact candidate set — the exact-oracle seam."""
+    sig = signatures if signatures is not None else hyperplane_signatures(
         embeddings, n_planes=n_planes, n_tables=n_tables, id_col=id_col, vec_col=vec_col
     )
     base = embeddings.join(sig, id_col).select(
@@ -163,8 +166,12 @@ def train_ivf_centroids(
         .limit(max_train)
         .toPandas()
     )
+    if pdf.empty:
+        raise ValueError("train_ivf_centroids: embedding table is empty — nothing to train on")
     mat = np.array(pdf.sort_values("id")["v"].tolist(), dtype=np.float64)
     mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    # small corpora: a quantizer can't have more cells than training vectors
+    n_centroids = min(n_centroids, len(mat))
     rng = np.random.default_rng(seed)
     cents = mat[rng.choice(len(mat), size=n_centroids, replace=False)]
     for _ in range(n_iters):
@@ -222,6 +229,74 @@ def ivf_assign(
     )
 
 
+def ivf_probes(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    query_ids: list[int],
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, ivf_cell) — each query's n_probe nearest centroid cells
+    (native HOF sort over the broadcast one-row centroid dim). Exposed
+    separately (like ivf_assign) so the probe table can be STAGED for the
+    exact-oracle seam: given staged assignments + probes, the candidate set
+    is a plain cell equi-join any engine can reproduce."""
+    dim = _centroid_dim(embeddings.sparkSession, centroids)
+    nrm = F.greatest(_norm(F.col(vec_col)), F.lit(1e-12))
+    return (
+        embeddings.where(F.col(id_col).isin(query_ids))
+        .crossJoin(F.broadcast(dim))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.explode(
+                F.transform(
+                    F.slice(F.sort_array(_cell_rank_structs(F.col(vec_col), nrm)), 1, n_probe),
+                    lambda s: s["cid"],
+                )
+            ).alias("ivf_cell"),
+        )
+    )
+
+
+def cosine_topk_from_cells(
+    embeddings: DataFrame,
+    assigned_cells: DataFrame,
+    probe_cells: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k restricted to the IVF candidate set: base vectors
+    whose (neighbor_id, ivf_cell) assignment matches any probed
+    (query_id, ivf_cell) row. Pure DataFrame ops over the two cell tables +
+    the embeddings table — the deterministic tail of the IVF pipeline, and
+    exactly SQL-specifiable from staged cell tables."""
+    base = embeddings.select(
+        F.col(id_col).alias("_bid"), F.col(vec_col).alias("vec"),
+        _norm(F.col(vec_col)).alias("nrm"),
+    )
+    qvecs = embeddings.select(
+        F.col(id_col).alias("_qid"), F.col(vec_col).alias("qvec"),
+        _norm(F.col(vec_col)).alias("qnrm"),
+    )
+    cand = (
+        assigned_cells.join(F.broadcast(probe_cells), "ivf_cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .join(base, F.col("neighbor_id") == F.col("_bid"))
+        .join(F.broadcast(qvecs), F.col("query_id") == F.col("_qid"))
+    )
+    sim = _dot(F.col("vec"), F.col("qvec")) / (F.col("nrm") * F.col("qnrm"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        cand.select("query_id", "neighbor_id", sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 def cosine_topk_ivf(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -239,37 +314,14 @@ def cosine_topk_ivf(
     join of the base side). n_probe == n_centroids degenerates to exact
     brute force — pinned in tests. Pass `centroids` to reuse a trained
     quantizer across queries."""
-    spark = embeddings.sparkSession
     if centroids is None:
         centroids = train_ivf_centroids(
             embeddings, n_centroids, n_iters, seed, id_col=id_col, vec_col=vec_col
         )
-    assigned = ivf_assign(embeddings, centroids, id_col=id_col, vec_col=vec_col)
-    dim = _centroid_dim(spark, centroids)
-    nrm = F.greatest(_norm(F.col(vec_col)), F.lit(1e-12))
-    probes = (
-        embeddings.where(F.col(id_col).isin(query_ids))
-        .crossJoin(F.broadcast(dim))
-        .select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("qvec"),
-            _norm(F.col(vec_col)).alias("qnrm"),
-            F.explode(
-                F.transform(
-                    F.slice(F.sort_array(_cell_rank_structs(F.col(vec_col), nrm)), 1, n_probe),
-                    lambda s: s["cid"],
-                )
-            ).alias("ivf_cell"),
-        )
+    assigned = ivf_assign(embeddings, centroids, id_col=id_col, vec_col=vec_col).select(
+        "neighbor_id", "ivf_cell"
     )
-    cand = assigned.join(F.broadcast(probes), "ivf_cell").where(
-        F.col("neighbor_id") != F.col("query_id")
+    probes = ivf_probes(
+        embeddings, centroids, query_ids, n_probe, id_col=id_col, vec_col=vec_col
     )
-    sim = _dot(F.col("vec"), F.col("qvec")) / (F.col("nrm") * F.col("qnrm"))
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        cand.select("query_id", "neighbor_id", sim.alias("sim"))
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank")
-    )
+    return cosine_topk_from_cells(embeddings, assigned, probes, k, id_col, vec_col)
