@@ -409,6 +409,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return closure.p279_closure(edges).orderBy("qid", "ancestor")
     q["q_closure"] = q_closure
 
+    # ---- same closure via path doubling (O(log depth) rounds; the
+    # 100x-ontology-depth strategy) — identical table, same exact oracle
+    def q_closure_doubling(spark, sf):
+        n = _t(spark, sf, "nation")
+        p = _t(spark, sf, "part")
+        e1 = n.select(
+            F.concat(F.lit("N"), F.col("n_nationkey")).alias("child_qid"),
+            F.concat(F.lit("R"), F.col("n_regionkey")).alias("parent_qid"),
+        )
+        e2 = p.where(F.col("p_partkey") % 8 != 0).select(
+            F.concat(F.lit("P"), F.col("p_partkey")).alias("child_qid"),
+            F.concat(F.lit("P"), F.col("p_partkey") - 1).alias("parent_qid"),
+        )
+        return closure.p279_closure(e1.union(e2), doubling=True).orderBy("qid", "ancestor")
+    q["q_closure_doubling"] = q_closure_doubling
+
     # ---- best-interwiki style priority top-1 (A6 min_by)
     def q_priority_top1(spark, sf):
         c = _t(spark, sf, "customer")
@@ -1111,6 +1127,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY left_id, right_id
         """,
         "q_closure": closure_sql,
+        "q_closure_doubling": closure_sql,
         "q_priority_top1": """
             WITH langs(rank, lang) AS (VALUES (0,'en'),(1,'de'),(2,'fr'),(3,'nl'),(4,'ru')),
             d AS (

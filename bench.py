@@ -34,10 +34,24 @@ def _materialize(df) -> int:
     return 0
 
 
+def _time_min(fn, runs: int) -> float:
+    """min-of-N timing (round-3 verdict #4): single-run timings on short
+    queries have a ~2x noise band under machine load; the min over N>=2
+    runs makes round-over-round comparison meaningful."""
+    best = None
+    for _ in range(runs):
+        t0 = time.time()
+        fn()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     sf = _sf_of(sf_dir)
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
 
     from wikibrain_spark.session import get_spark
 
@@ -61,46 +75,38 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
-    t0 = time.time()
-    tiles = spatial_join.tile_assignments(
-        geotag.extract_geotags(images, with_s2=False), boundaries, res=9, strategy="broadcast"
-    )
-    _materialize(tiles)
-    timings["flagship_geotag_pip_tiles"] = round(time.time() - t0, 3)
+    timings["flagship_geotag_pip_tiles"] = _time_min(lambda: _materialize(
+        spatial_join.tile_assignments(
+            geotag.extract_geotags(images, with_s2=False), boundaries, res=9,
+            strategy="broadcast")), runs)
 
-    t0 = time.time()
-    _materialize(spatial_join.tile_assignments(images, boundaries, res=9, strategy="fused"))
-    timings["flagship_fused"] = round(time.time() - t0, 3)
+    timings["flagship_fused"] = _time_min(lambda: _materialize(
+        spatial_join.tile_assignments(images, boundaries, res=9, strategy="fused")), runs)
     flagship_rows_per_sec = round(n_images / timings["flagship_fused"], 1)
 
     # zero-Python flagship (the configuration that carries the scaling-gate
     # evidence in BENCH/BASELINE.md — no Arrow channel anywhere in the plan)
-    t0 = time.time()
-    _materialize(spatial_join.tile_assignments(images, boundaries, res=9, strategy="native"))
-    timings["flagship_native"] = round(time.time() - t0, 3)
+    timings["flagship_native"] = _time_min(lambda: _materialize(
+        spatial_join.tile_assignments(images, boundaries, res=9, strategy="native")), runs)
     flagship_native_rows_per_sec = round(n_images / timings["flagship_native"], 1)
 
-    t0 = time.time()
-    _materialize(
+    timings["flagship_shuffle_salted_pip"] = _time_min(lambda: _materialize(
         spatial_join.shuffle_pip_join(
             geotag.extract_geotags(images, with_s2=False),
             boundaries, hot_cell_threshold=max(1000, n_images // 20), n_salt=8,
-        )
-    )
-    timings["flagship_shuffle_salted_pip"] = round(time.time() - t0, 3)
+        )), runs)
 
     # ---- headline operator queries on the driver's testdata
     headline = [
         "q_pricing_summary", "q_top_customer_revenue", "q_order_priority_window",
         "q_cells_r7", "q_tile_stats", "q_pip_rectangles", "q_pip_shuffle_salted",
-        "q_knn", "q_knn_kring", "q_within_distance", "q_closure", "q_doc_stats",
+        "q_knn", "q_knn_kring", "q_within_distance", "q_within_distance_shuffle",
+        "q_closure", "q_closure_doubling", "q_doc_stats",
         "q_dedup_exact", "q_ann_topk", "q_malformed_check", "q_apply_changes",
     ]
     qs = em.queries()
     for name in headline:
-        t0 = time.time()
-        _materialize(qs[name](spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
+        timings[name] = _time_min(lambda: _materialize(qs[name](spark, sf_dir)), runs)
 
     # near-dup pair benchmarks on a FIXED 1000-doc slice: the synthetic
     # documents table repeats a tiny vocabulary, so pair density approaches
@@ -111,15 +117,12 @@ def main() -> None:
     from wikibrain_spark.operators import dedup as _dedup
 
     docs_slice = spark.read.parquet(f"{sf_dir}/documents.parquet").where(_F.col("doc_id") < 1000)
-    t0 = time.time()
-    _materialize(_dedup.token_jaccard_pairs(docs_slice, threshold=0.60))
-    timings["q_dedup_jaccard_1k"] = round(time.time() - t0, 3)
-    t0 = time.time()
-    _materialize(_dedup.minhash_lsh_pairs(docs_slice, n_perms=16, n_bands=4, threshold=0.60))
-    timings["q_dedup_minhash_1k"] = round(time.time() - t0, 3)
-    t0 = time.time()
-    _materialize(_dedup.simhash_near_pairs(docs_slice, max_hamming=8))
-    timings["q_dedup_simhash_1k"] = round(time.time() - t0, 3)
+    timings["q_dedup_jaccard_1k"] = _time_min(lambda: _materialize(
+        _dedup.token_jaccard_pairs(docs_slice, threshold=0.60)), runs)
+    timings["q_dedup_minhash_1k"] = _time_min(lambda: _materialize(
+        _dedup.minhash_lsh_pairs(docs_slice, n_perms=16, n_bands=4, threshold=0.60)), runs)
+    timings["q_dedup_simhash_1k"] = _time_min(lambda: _materialize(
+        _dedup.simhash_near_pairs(docs_slice, max_hamming=8)), runs)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -129,6 +132,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "cpus": cpus,
+        "runs_per_query": runs,
         "flagship_rows_per_sec": flagship_rows_per_sec,
         "flagship_native_rows_per_sec": flagship_native_rows_per_sec,
         "flagship_images": n_images,

@@ -28,6 +28,33 @@ def test_ignore_list_prunes_traversal(spark):
     assert ("A", "Z") not in got and ("A", "HUB") not in got
 
 
+def test_p279_closure_doubling_matches_frontier_loop(spark):
+    """Path-doubling mode returns the IDENTICAL closure table on a mixed
+    topology (deep chain + cycle + diamond + ignored hub), in
+    ceil(log2(depth)) growth rounds + 1 fixpoint-confirm round — a 20-deep
+    chain converges within 6 doubling iterations where the frontier loop
+    needs 20."""
+    rows = [(f"C{i}", f"C{i+1}", "P279") for i in range(20)]  # 20-deep chain
+    rows += [("X", "Y", "P279"), ("Y", "X", "P279")]          # 2-cycle
+    rows += [("D", "L", "P279"), ("D", "R", "P279"),
+             ("L", "T", "P279"), ("R", "T", "P279")]          # diamond
+    rows += [("A", "HUB", "P279"), ("HUB", "Z", "P279")]      # ignored hub
+    e = _edges(spark, rows)
+    loop = {(r["qid"], r["ancestor"])
+            for r in closure.p279_closure(e, ignored=["HUB"]).collect()}
+    dbl = {(r["qid"], r["ancestor"])
+           for r in closure.p279_closure(
+               e, ignored=["HUB"], doubling=True, max_iterations=6).collect()}
+    assert dbl == loop
+    assert ("C0", "C20") in dbl and ("A", "Z") not in dbl
+
+
+def test_p279_closure_doubling_raises_without_fixpoint(spark):
+    e = _edges(spark, [(f"C{i}", f"C{i+1}", "P279") for i in range(20)])
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        closure.p279_closure(e, doubling=True, max_iterations=2)
+
+
 def test_classifying_ancestors_union_semantics(spark):
     # X --P31--> R --P279--> S ; X --P279--> T
     e = _edges(spark, [("X", "R", "P31"), ("R", "S", "P279"), ("X", "T", "P279")])

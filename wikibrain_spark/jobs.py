@@ -11,6 +11,9 @@ files — same driver loop, pruned physical plan.
 
 from __future__ import annotations
 
+import os
+import time
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -49,6 +52,102 @@ def flagship_partitioned(
         )
     finally:
         tiles.unpersist()
+
+
+def streaming_flagship_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    boundaries: DataFrame,
+    out_root: str,
+    checkpoint_dir: str,
+    res: int = 9,
+    cell_prefilter_res: int | None = 2,
+    max_files_per_trigger: int = 8,
+    fail_before_commit: set[int] | None = None,
+) -> dict[str, dict]:
+    """ONE resumable streaming ingest job (round-3 verdict #7): image
+    stream -> native geotag parse -> cross-batch stateful exact dedup ->
+    native PIP -> tile cells -> per-micro-batch ledger commit.
+
+    Exactly-once output across kills and restarts, by composing two
+    mechanisms:
+      * Structured Streaming's checkpoint (source offsets + the dedup
+        operator's state store) makes every micro-batch REPLAYABLE: a
+        batch whose offsets were not committed re-runs with identical
+        input and identical dedup state on restart;
+      * the foreachBatch ledger commit is IDEMPOTENT per batch id: a
+        replayed batch whose ledger row exists is skipped outright; one
+        that died between the parquet write and the ledger append is
+        rewritten (mode=overwrite) and then committed.
+    The ledger is the source of truth (a partition directory without a
+    ledger row is staging garbage), exactly as in the batch job above.
+
+    The stream graph is zero-Python except the dedup state operator: the
+    geotag parse is the native binary header parse, and the PIP is the
+    broadcast one-row-dim fold — both the UNCHANGED batch operators.
+
+    ``fail_before_commit``: test-only fault injection — batch ids that
+    raise AFTER writing their parquet but BEFORE the ledger commit,
+    simulating a mid-commit kill.
+
+    Returns the full committed-ledger map after the run drains
+    (Trigger.AvailableNow).
+    """
+    from wikibrain_spark.functions import binparse
+    from wikibrain_spark.streaming.pipeline import IMAGE_SCHEMA, streaming_dedup
+
+    stream = (
+        spark.readStream.schema(IMAGE_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+    pts = stream.select(
+        "image_id",
+        F.md5("bytes").alias("fp"),
+        binparse.le_double_col(F.col("bytes"), 11).alias("lat"),
+        binparse.le_double_col(F.col("bytes"), 19).alias("lon"),
+    )
+    unique = streaming_dedup(pts, key_col="fp", id_col="image_id", carry_cols=("lat", "lon"))
+
+    ledger = PartitionLedger(out_root)
+    has_tags = "qid" in boundaries.columns
+    dim = boundaries.select("boundary_id", "qid", "wikipedia") if has_tags else None
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        key = f"b{batch_id}"
+        if key in ledger.committed():
+            return  # replayed after a post-commit crash: nothing to do
+        t0 = time.time()
+        pairs = spatial_join.broadcast_pip_join_native(
+            batch_df, boundaries, cell_prefilter_res
+        )
+        out = pairs.select(
+            "image_id",
+            cells.hexlite_cell_col(F.col("lat"), F.col("lon"), res).alias(f"cell_r{res}"),
+            "boundary_id",
+        )
+        if dim is not None:
+            out = out.join(F.broadcast(dim), "boundary_id")
+        out = out.persist()
+        out.write.mode("overwrite").parquet(os.path.join(out_root, f"partition={key}"))
+        n = out.count()
+        out.unpersist()
+        if fail_before_commit and batch_id in fail_before_commit:
+            raise RuntimeError(f"injected failure before ledger commit of batch {batch_id}")
+        ledger.commit(key, {
+            "row_count": n,
+            "elapsed_sec": round(time.time() - t0, 3),
+            "input_fingerprint": f"stream_batch={batch_id}",
+        })
+
+    q = (
+        unique.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return ledger.committed()
 
 
 def read_flagship_output(spark: SparkSession, out_root: str) -> DataFrame:

@@ -130,7 +130,10 @@ def streaming_pip_boundary_counts(
 
 
 def streaming_dedup(
-    docs: DataFrame, key_col: str = "fp", id_col: str = "image_id"
+    docs: DataFrame,
+    key_col: str = "fp",
+    id_col: str = "image_id",
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Stateful streaming exact-dedup (applyInPandasWithState): the first row
     per fingerprint — across ALL micro-batches, state persisted in the
@@ -141,11 +144,16 @@ def streaming_dedup(
 
     Within a batch the deterministic survivor is the minimum id (the
     reference point for re-runs). Input must be a streaming DataFrame
-    carrying (key_col, id_col)."""
+    carrying (key_col, id_col); ``carry_cols`` names additional DOUBLE
+    columns the survivor row carries through (e.g. lat/lon so the dedup
+    stage can feed the spatial join without a re-join)."""
     import pandas as pd  # noqa: F811 — explicit for the worker closure
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    out_schema = f"{key_col} string, {id_col} string"
+    out_cols = [key_col, id_col, *carry_cols]
+    out_schema = f"{key_col} string, {id_col} string" + "".join(
+        f", {c} double" for c in carry_cols
+    )
 
     def first_only(key, pdfs, state: GroupState):
         if state.exists:
@@ -154,7 +162,7 @@ def streaming_dedup(
         if rows.empty:
             return
         state.update((1,))
-        yield rows.sort_values(id_col).iloc[:1][[key_col, id_col]]
+        yield rows.sort_values(id_col).iloc[:1][out_cols]
 
     return (
         docs.groupBy(key_col)
