@@ -59,6 +59,7 @@ def main() -> None:
         ("broadcast-join copy probe (same join, no PIP math)", "pip3000_copy_probe_sec"),
         ("prefiltered PIP kernel (prefiltered minus copy probe)", "pip3000_kernel_sec"),
         ("distance-band range join (20M pts x 500 places, km=1000)", "wd_range_sec"),
+        ("big-big salted shuffle range join (20M x 200k pts, km=10)", "wd_shuffle_sec"),
         ("Arrow-channel probe (identity mapInPandas)", "channel_probe_sec"),
     ]
     lines = [

@@ -222,6 +222,22 @@ def main() -> None:
     )
     res["wd_range_rows_per_sec"] = round(n_pref / res["wd_range_sec"], 1)
 
+    # big-big salted SHUFFLE range join (round-3 'what's missing #2'): 20M
+    # probe points x 200k ring-side points at km=10 — neither side
+    # broadcast; the (cell, salt) shuffled-hash join is the cost being
+    # measured, so this row carries the scaling story for the
+    # fact x fact radius query
+    wd_right_big = _pts(200_000).select(
+        F.col("image_id").alias("right_id"), "lat", "lon"
+    )
+    res["wd_shuffle_right_points"] = 200_000
+    res["wd_shuffle_sec"] = timed(
+        lambda: _knn.within_distance_join_shuffle(
+            wd_left, wd_right_big, km=10.0, hot_cell_threshold=100_000
+        )
+    )
+    res["wd_shuffle_rows_per_sec"] = round(n_pref / res["wd_shuffle_sec"], 1)
+
     print(json.dumps(res))
     spark.stop()
 

@@ -46,11 +46,18 @@ def main() -> None:
         f"`entry()`, {n_queries} `queries()`, {n_oracles} exact DuckDB `oracle_sql()`",
         s,
     )
-    s = re.sub(
-        r"only the \d+ genuinely approximate LSH ops are rows-only",
-        f"only the {n_queries - n_oracles} genuinely approximate LSH ops are rows-only",
-        s,
-    )
+    if n_queries == n_oracles:
+        s = re.sub(
+            r"only the \d+ genuinely approximate LSH ops are rows-only",
+            "EVERY query has an exact oracle",
+            s,
+        )
+    else:
+        s = re.sub(
+            r"only the \d+ genuinely approximate LSH ops are rows-only",
+            f"only the {n_queries - n_oracles} genuinely approximate LSH ops are rows-only",
+            s,
+        )
     s = re.sub(r"# \d+\+? tests incl\.", f"# {n_tests} tests incl.", s)
     s = re.sub(r"\d+-case classification corpus", f"{n_corpus}-case classification corpus", s)
     s = re.sub(r"\d+-case ontology classification corpus", f"{n_corpus}-case ontology classification corpus", s)

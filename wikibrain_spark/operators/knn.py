@@ -267,6 +267,10 @@ def within_distance_join(
     pairs are unique by construction — the old pair-dedup hash aggregate
     was also the stage that pushed whole-stage codegen past Janino's 64 KB
     ceiling.
+
+    When NEITHER side is broadcastable (fact x fact radius query), use
+    :func:`within_distance_join_shuffle` — same candidates, shuffled join
+    with hot-cell salting.
     """
     res = _range_res(km, res)
     probe, ring = _range_probe_ring(left, right, km, res, explode_side)
