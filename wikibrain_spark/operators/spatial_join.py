@@ -243,11 +243,15 @@ def shuffle_pip_join(
 
     # hotness pre-pass: cells whose point-count exceeds the threshold get
     # split into n_salt sub-keys. The count aggregates map-side (partial agg)
-    # so the pre-pass shuffles only one row per distinct cell.
+    # so the pre-pass shuffles only one row per distinct cell; the eager
+    # localCheckpoint materializes the metadata-scale hot list ONCE — it is
+    # joined to BOTH sides, and without it each join re-runs the full
+    # points-side count scan
     hot = (
         pts.groupBy("cell").count()
         .where(F.col("count") > hot_cell_threshold)
         .select("cell", F.lit(n_salt).alias("n_salt"))
+        .localCheckpoint()
     )
 
     cover = polygon_cover(boundaries, res)
