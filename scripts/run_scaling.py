@@ -28,8 +28,11 @@ LEVELS = tuple(int(x) for x in os.environ.get("SCALING_LEVELS", "4,16").split(",
 def run_level(cpus: int) -> dict:
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts", "scaling_worker.py"), str(cpus), str(N_IMAGES)],
-        capture_output=True, text=True, check=True,
+        capture_output=True, text=True,
     )
+    if out.returncode != 0:
+        sys.stderr.write(out.stderr[-4000:])  # surface the worker's actual error
+        raise RuntimeError(f"scaling worker failed at local[{cpus}] (rc={out.returncode})")
     line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
     return json.loads(line)
 
@@ -59,7 +62,8 @@ def main() -> None:
         ("broadcast-join copy probe (same join, no PIP math)", "pip3000_copy_probe_sec"),
         ("prefiltered PIP kernel (prefiltered minus copy probe)", "pip3000_kernel_sec"),
         ("distance-band range join (20M pts x 500 places, km=1000)", "wd_range_sec"),
-        ("big-big salted shuffle range join (20M x 200k pts, km=10)", "wd_shuffle_sec"),
+        ("big-big salted shuffle range join (20M x 2M pts, km=10)", "wd_shuffle_sec"),
+        ("shuffle-transport probe (same exchange, no join/compute)", "wd_shuffle_transport_probe_sec"),
         ("Arrow-channel probe (identity mapInPandas)", "channel_probe_sec"),
     ]
     lines = [
@@ -102,6 +106,10 @@ def main() -> None:
             [f"| range-join probe pts/sec | {lo['wd_range_rows_per_sec']} | {hi['wd_range_rows_per_sec']} |"]
             if "wd_range_rows_per_sec" in lo else []
         ),
+        *(
+            [f"| big-big shuffle range-join probe pts/sec | {lo['wd_shuffle_rows_per_sec']} | {hi['wd_shuffle_rows_per_sec']} |"]
+            if "wd_shuffle_rows_per_sec" in lo else []
+        ),
         "",
         "At 3000 polygons (10x the 300-polygon pytest pin) the cell-prefiltered",
         "native dim is the designated configuration: on the SAME 100k-point",
@@ -131,6 +139,25 @@ def main() -> None:
         "kernel overhead of its own. On a real cluster each executor owns",
         "its broadcast copy and memory bus, and the operator's narrow",
         "zero-shuffle shape is exactly what scales there.",
+        "",
+        "The big-big shuffle range-join row (new in round 4) is the",
+        "fact x fact radius query: 20M probe points against 2M",
+        "ring-exploded points (~50M exploded ring rows) at km=10, neither",
+        "side broadcast — a (cell, salt) shuffled-hash join with a SAMPLED",
+        "hot-cell salting pre-pass (plan-pinned to exactly one shuffled",
+        "join + two exchanges). Unlike every other row it pays a genuine",
+        "two-sided shuffle, and in local mode ALL shuffle bytes cross one",
+        "socket's memory system regardless of core count: the",
+        "shuffle-transport probe (the identical exchange of the 20M side",
+        "with the join and all pair compute removed) pins that floor at",
+        "~0.4 efficiency at ANY core count — the shuffle analogue of the",
+        "broadcast copy probe. The operator's own row lands between that",
+        "transport floor and the compute rows' ~0.85 according to its",
+        "shuffle share. On a real cluster the shuffle fabric (disks + NICs)",
+        "scales WITH executor count — exactly the term local mode cannot",
+        "scale — while the operator's per-core compute (cell encode, ring",
+        "enumeration, haversine verify over ~25M surviving pairs) is the",
+        "part this machine can and does parallelize.",
         "",
         "Cross-run variance (idle hardware, fresh JVM per level): across the",
         "six full runs recorded in rounds 2–3 the flagship native efficiency",

@@ -223,20 +223,40 @@ def main() -> None:
     res["wd_range_rows_per_sec"] = round(n_pref / res["wd_range_sec"], 1)
 
     # big-big salted SHUFFLE range join (round-3 'what's missing #2'): 20M
-    # probe points x 200k ring-side points at km=10 — neither side
+    # probe points x 2M ring-side points at km=10 — neither side
     # broadcast; the (cell, salt) shuffled-hash join is the cost being
     # measured, so this row carries the scaling story for the
-    # fact x fact radius query
-    wd_right_big = _pts(200_000).select(
+    # fact x fact radius query. (A 200k ring side was fixed-term-bound:
+    # exploding it took ~2s at ANY core count, so the row measured task
+    # launch + the one-socket shuffle, not the operator.)
+    wd_right_big = _pts(2_000_000).select(
         F.col("image_id").alias("right_id"), "lat", "lon"
     )
-    res["wd_shuffle_right_points"] = 200_000
+    res["wd_shuffle_right_points"] = 2_000_000
     res["wd_shuffle_sec"] = timed(
         lambda: _knn.within_distance_join_shuffle(
             wd_left, wd_right_big, km=10.0, hot_cell_threshold=100_000
         )
     )
     res["wd_shuffle_rows_per_sec"] = round(n_pref / res["wd_shuffle_sec"], 1)
+
+    # shuffle-transport probe: the identical hash exchange of the 20M probe
+    # side (cell encode + repartition on the join key) with the join and
+    # all pair compute removed. In local mode every shuffle write+read
+    # crosses ONE socket's memory system and page cache, so this term is
+    # bandwidth-bound at any core count — the shuffle analogue of the
+    # broadcast copy probe; wd_shuffle minus transport isolates the join
+    # kernel. On a real cluster each executor shuffles over its own disks
+    # and NICs.
+    wd_res = _knn._range_res(10.0, None)
+    transport = wd_left.select(
+        "left_id",
+        _cells.hexlite_cell_col(F.col("lat"), F.col("lon"), wd_res).alias("cell"),
+    ).repartition(cpus * 4, "cell")
+    res["wd_shuffle_transport_probe_sec"] = timed(lambda: transport)
+    res["wd_shuffle_kernel_sec"] = round(
+        max(res["wd_shuffle_sec"] - res["wd_shuffle_transport_probe_sec"], 0.001), 3
+    )
 
     print(json.dumps(res))
     spark.stop()

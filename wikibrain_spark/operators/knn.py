@@ -282,6 +282,31 @@ def within_distance_join(
     )
 
 
+def _sampled_hot_cells(
+    probe: DataFrame,
+    cell_col: str,
+    hot_cell_threshold: int,
+    n_salt: int,
+    fraction: float,
+) -> DataFrame:
+    """Broadcast-small (cell, n_salt) list of hot join keys, estimated from
+    a seeded sample (fraction=1.0 -> exact count). The cutoff is halved in
+    sample space so sampling variance errs toward salting borderline cells
+    (harmless: salting any cell is correct; missing a truly hot one is the
+    only costly mistake, and at the default sizes that probability is ~0).
+    localCheckpoint (eager) materializes the metadata-scale list ONCE — it
+    is joined to BOTH sides, and without materialization each join re-runs
+    the pre-pass scan."""
+    src = probe if fraction >= 1.0 else probe.sample(fraction=fraction, seed=7)
+    cutoff = max(1.0, hot_cell_threshold * min(fraction, 1.0) / 2.0)
+    return (
+        src.groupBy(cell_col).count()
+        .where(F.col("count") > cutoff)
+        .select(cell_col, F.lit(n_salt).alias("n_salt"))
+        .localCheckpoint()
+    )
+
+
 def _range_res(km: float, res: int | None) -> int:
     if res is None:
         # coarsest-useful cells: edge >= km/2 keeps the ring rectangle small
@@ -345,6 +370,7 @@ def within_distance_join_shuffle(
     hot_cell_threshold: int = 1_000_000,
     n_salt: int = 8,
     explode_side: str = "right",
+    hotness_sample_fraction: float = 0.01,
 ) -> DataFrame:
     """BIG-BIG distance-band range join: identical semantics and output to
     :func:`within_distance_join`, but neither side need be broadcastable —
@@ -356,15 +382,22 @@ def within_distance_join_shuffle(
     * probe side encodes its single cell; the other side explodes its
       per-row spherical-cap candidate ring (shared `_range_probe_ring`
       kernel, so recall/precision are identical by construction);
-    * a hotness pre-pass counts probe rows per cell — the count aggregates
-      map-side, so the pre-pass shuffles one row per DISTINCT cell and the
-      resulting hot-cell list is broadcast-small by definition;
+    * a SAMPLED hotness pre-pass estimates probe rows per cell: salting is
+      a performance decision, not a correctness one (any subset of cells
+      may be salted and the join output is identical), so a 1% seeded
+      sample detects every genuinely hot cell — a cell at the 1M default
+      threshold yields ~10k sampled rows against a cutoff of 5k, missed
+      with probability ~0 — at 1% of the full-scan cost. A full 100 TB
+      count pre-pass would pay an O(distinct-cells) aggregation (measured
+      ~38% of the whole join on unskewed inputs) to learn nothing;
     * probe rows in a hot cell scatter over `n_salt` sub-keys by id hash;
       ring rows for a hot cell replicate across all `n_salt` sub-keys —
       bounding any single task's probe volume at ~threshold/n_salt rows;
     * the (cell, salt) join is hinted shuffle_hash (no sort needed; the
       caller chose this variant precisely because the build side is too
       big to broadcast).
+
+    hotness_sample_fraction=1.0 recovers the exact count pre-pass.
 
     Use :func:`within_distance_join` when one side is a broadcastable
     dimension (zero-shuffle narrow plan); use this when both sides are
@@ -373,14 +406,8 @@ def within_distance_join_shuffle(
     probe, ring = _range_probe_ring(left, right, km, res, explode_side)
     probe_id = "left_id" if explode_side == "right" else "right_id"
 
-    # localCheckpoint (eager) materializes the metadata-scale hot list ONCE:
-    # it is joined to BOTH sides, and without materialization each join
-    # re-runs the full probe-side count scan (two extra 100 TB scans)
-    hot = (
-        probe.groupBy("cell").count()
-        .where(F.col("count") > hot_cell_threshold)
-        .select("cell", F.lit(n_salt).alias("n_salt"))
-        .localCheckpoint()
+    hot = _sampled_hot_cells(
+        probe, "cell", hot_cell_threshold, n_salt, hotness_sample_fraction
     )
     ring_salted = (
         ring.join(F.broadcast(hot), "cell", "left")

@@ -230,29 +230,26 @@ def shuffle_pip_join(
     res: int = COVER_RES,
     hot_cell_threshold: int = 50_000,
     n_salt: int = 8,
+    hotness_sample_fraction: float = 0.01,
 ) -> DataFrame:
     """Shuffle strategy with explicit hot-cell salting.
 
     points must carry (image_id, lat, lon). Returns (image_id, boundary_id).
     """
+    from wikibrain_spark.operators.knn import _sampled_hot_cells
+
     spark = points.sparkSession
     pts = points.select(
         "image_id", "lat", "lon",
         cells.hexlite_cell_col(F.col("lat"), F.col("lon"), res).alias("cell"),
     )
 
-    # hotness pre-pass: cells whose point-count exceeds the threshold get
-    # split into n_salt sub-keys. The count aggregates map-side (partial agg)
-    # so the pre-pass shuffles only one row per distinct cell; the eager
-    # localCheckpoint materializes the metadata-scale hot list ONCE — it is
-    # joined to BOTH sides, and without it each join re-runs the full
-    # points-side count scan
-    hot = (
-        pts.groupBy("cell").count()
-        .where(F.col("count") > hot_cell_threshold)
-        .select("cell", F.lit(n_salt).alias("n_salt"))
-        .localCheckpoint()
-    )
+    # SAMPLED hotness pre-pass: cells whose estimated point-count exceeds
+    # the threshold get split into n_salt sub-keys. Salting is perf-only
+    # (any cell subset is output-identical), so the seeded sample detects
+    # hot cells at ~1% of a full count scan; fraction=1.0 recovers the
+    # exact pre-pass. See knn._sampled_hot_cells for the cutoff math.
+    hot = _sampled_hot_cells(pts, "cell", hot_cell_threshold, n_salt, hotness_sample_fraction)
 
     cover = polygon_cover(boundaries, res)
     # replicate polygon cover rows for hot cells: salt 0..n_salt-1
