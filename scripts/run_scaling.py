@@ -160,11 +160,15 @@ def main() -> None:
         "part this machine can and does parallelize.",
         "",
         "Cross-run variance (idle hardware, fresh JVM per level): across the",
-        "six full runs recorded in rounds 2–3 the flagship native efficiency",
-        "measured 0.876 / 1.018 / 0.885 / 0.88 / 0.905 / 0.89 (always ≥ the",
-        "0.8 gate — flagship native is the gate carrier per the north rule),",
-        "full decode 0.91 / 0.89 / 0.855 / 0.96 / 0.99 / 0.88, lineitem agg",
-        "0.80 / 0.66 / 0.81 / 0.73 / 1.08 / 0.85 (the sub-second local[16]",
+        "six full runs recorded in rounds 2–3 plus four more in round 4 the",
+        "flagship native efficiency measured 0.876 / 1.018 / 0.885 / 0.88 /",
+        "0.905 / 0.89 / 0.82 / 0.84 / 0.74 / 0.83 (≥ the 0.8 gate in 9 of",
+        "10 — flagship native is the gate carrier per the north rule; the",
+        "one 0.74 sample came from a degraded local[16] leg whose decode",
+        "row simultaneously measured 0.97, i.e. per-job page-cache drift,",
+        "not load), full decode 0.91 / 0.89 / 0.855 / 0.96 / 0.99 / 0.88 /",
+        "0.79 / 0.92 / 0.97 / 0.86, lineitem agg 0.80 / 0.66 / 0.81 / 0.73 /",
+        "1.08 / 0.85 / 0.77 / 1.01 / 0.78 / 0.80 (the sub-second local[16]",
         "samples of a 3 s job absorb JVM/GC noise). The tables above are the",
         "latest sample, unmodified.",
         "",

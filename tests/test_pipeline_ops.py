@@ -354,8 +354,11 @@ def test_within_distance_join_shuffle_matches_broadcast(spark):
     want = _crossjoin_pairs(a, b, 800.0)
     got_broadcast = {(r["left_id"], r["right_id"])
                      for r in knn.within_distance_join(a, b, km=800.0).collect()}
+    # exact pre-pass (fraction=1.0): the deliberately clustered cells are
+    # then hot by construction, so replication + scatter really executes
     rows = knn.within_distance_join_shuffle(
-        a, b, km=800.0, hot_cell_threshold=20, n_salt=4).collect()
+        a, b, km=800.0, hot_cell_threshold=20, n_salt=4,
+        hotness_sample_fraction=1.0).collect()
     got_shuffle = {(r["left_id"], r["right_id"]) for r in rows}
     assert got_shuffle == got_broadcast == want and want
     # salting must not duplicate pairs (ring replicated across salts, but
