@@ -366,6 +366,38 @@ def test_within_distance_join_shuffle_matches_broadcast(spark):
     assert len(rows) == len(got_shuffle)
 
 
+def test_within_distance_shuffle_sampling_is_output_invariant(spark):
+    """Salting is a performance decision: whatever cell subset the sampled
+    hotness pre-pass picks (none, some, or all), the pair set is identical.
+    Pin output equality across sample fractions, and that fraction=1.0
+    detects exactly the over-threshold cells (exact pre-pass)."""
+    from wikibrain_spark.operators.knn import _range_probe_ring, _range_res, _sampled_hot_cells
+
+    rng = np.random.default_rng(23)
+    a = spark.createDataFrame(pd.DataFrame({
+        "left_id": range(300),
+        "lat": np.concatenate([rng.uniform(50, 51, 250), rng.uniform(-80, 80, 50)]),
+        "lon": np.concatenate([rng.uniform(5, 6, 250), rng.uniform(-179, 179, 50)])}))
+    b = spark.createDataFrame(pd.DataFrame({
+        "right_id": range(40),
+        "lat": rng.uniform(-80, 80, 40), "lon": rng.uniform(-179, 179, 40)}))
+    outs = []
+    for frac in (0.05, 0.5, 1.0):
+        outs.append(sorted(
+            (r["left_id"], r["right_id"], r["dist_km_e3"])
+            for r in knn.within_distance_join_shuffle(
+                a, b, km=900.0, hot_cell_threshold=30, n_salt=3,
+                hotness_sample_fraction=frac).collect()))
+    assert outs[0] == outs[1] == outs[2] and outs[0]
+    # exact mode detects exactly the over-threshold cells
+    res = _range_res(900.0, None)
+    probe, _ = _range_probe_ring(a, b, 900.0, res, "right")
+    hot = {r["cell"] for r in _sampled_hot_cells(probe, "cell", 30, 3, 1.0).collect()}
+    counts = {r["cell"]: r["n"] for r in
+              probe.groupBy("cell").agg(F.count("*").alias("n")).collect()}
+    assert hot == {c for c, n in counts.items() if n > 30}
+
+
 def test_within_distance_join_over_the_pole(spark):
     """Polar regression (round-2 red oracle): points at |lat| in [81, 85]
     with dlon near 180 deg are within 1500 km OVER the pole even though the
