@@ -77,12 +77,23 @@ KR_QLON = "(CAST((event_id * 91) % 2000 AS DOUBLE) / 100.0)"
 KR_PLAT = "40.0 + (CAST((c_custkey * 13) % 1000 AS DOUBLE) / 100.0)"
 KR_PLON = "(CAST((c_custkey * 29) % 2000 AS DOUBLE) / 100.0)"
 
-# axis-aligned test polygons; under the half-open even-odd rule a rectangle
-# contains lat in [lat0, lat1) x lon in [lon0, lon1)
-RECTS = [
-    (0, -20.0, 40.0, -90.0, 0.0),
-    (1, 10.0, 70.0, -30.0, 60.0),   # overlaps rect 0
-    (2, -80.0, -30.0, 90.0, 175.0),
+# axis-aligned test (multi)polygons; under the half-open even-odd rule a
+# rectangle ring contains lat in [lat0, lat1) x lon in [lon0, lon1).
+# Each entry: (boundary_id, [(lat0, lat1, lon0, lon1), ...rings]) — even-odd
+# across rings, so a nested ring is a HOLE and disjoint rings are a
+# MULTIPOLYGON. lon0 > lon1 encodes a dateline-crossing ring
+# (lon >= lon0 OR lon < lon1). Cases 3-6 are the round-4 verdict #1
+# fixtures: donut, enclave-in-hole, two-component multipolygon, dateline.
+POLYS = [
+    (0, [(-20.0, 40.0, -90.0, 0.0)]),
+    (1, [(10.0, 70.0, -30.0, 60.0)]),          # overlaps poly 0
+    (2, [(-80.0, -30.0, 90.0, 175.0)]),
+    (3, [(0.0, 50.0, 100.0, 160.0),
+         (10.0, 40.0, 110.0, 150.0)]),          # donut: nested ring = hole
+    (4, [(15.0, 35.0, 115.0, 145.0)]),          # enclave inside poly 3's hole
+    (5, [(-60.0, -20.0, -170.0, -150.0),
+         (-60.0, -20.0, 150.0, 170.0)]),        # multipolygon: 2 disjoint outers
+    (6, [(30.0, 60.0, 170.0, -170.0)]),         # crosses the antimeridian
 ]
 
 
@@ -97,12 +108,25 @@ def _event_points(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _rect_boundaries(spark: SparkSession) -> DataFrame:
-    rows = [
-        (rid, [la0, la0, la1, la1], [lo0, lo1, lo1, lo0])
-        for rid, la0, la1, lo0, lo1 in RECTS
-    ]
+    """POLYS as a canonical-rings boundary frame. Ring k>0 nested inside
+    ring 0 acts as a hole under even-odd; is_hole is set for metadata
+    consistency (bbox/cover construction ignores hole rings)."""
+    def ring(la0, la1, lo0, lo1):
+        return ([la0, la0, la1, la1], [lo0, lo1, lo1, lo0])
+
+    def is_nested(inner, outer):
+        return (outer[0] <= inner[0] and inner[1] <= outer[1]
+                and outer[2] <= inner[2] and inner[3] <= outer[3])
+
+    rows = []
+    for rid, rects in POLYS:
+        rings = []
+        for k, r in enumerate(rects):
+            hole = k > 0 and any(is_nested(r, rects[j]) for j in range(k))
+            rings.append((*ring(*r), hole))
+        rows.append((rid, rings))
     return spark.createDataFrame(
-        rows, "boundary_id long, ring_lat array<double>, ring_lon array<double>"
+        rows, f"boundary_id long, rings {spatial_join.RINGS_TYPE}"
     )
 
 
@@ -378,9 +402,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q_within_distance"] = q_within_distance
 
     # ---- big-big variant: same pairs via the salted SHUFFLE strategy
-    # (hot_cell_threshold forced low so the salting path actually executes
-    # at driver scale — at production scale the default 1M threshold means
-    # only genuinely hot cells pay the replication)
+    # (hot_cell_threshold forced low AND hotness_sample_fraction=1.0 so the
+    # exact pre-pass deterministically detects hot cells and the salted
+    # replication path executes under the oracle gate — at production scale
+    # the default 1M threshold + 1% sample mean only genuinely hot cells
+    # pay the replication)
     def q_within_distance_shuffle(spark, sf):
         ev = _event_points(spark, sf).withColumnRenamed("event_id", "left_id")
         places = _t(spark, sf, "nation").select(
@@ -388,7 +414,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.expr(PLACE_LAT).alias("lat"), F.expr(PLACE_LON).alias("lon"),
         )
         return knn.within_distance_join_shuffle(
-            ev, places, km=1500.0, hot_cell_threshold=50, n_salt=4
+            ev, places, km=1500.0, hot_cell_threshold=50, n_salt=4,
+            hotness_sample_fraction=1.0,
         ).orderBy("left_id", "right_id")
     q["q_within_distance_shuffle"] = q_within_distance_shuffle
 
@@ -424,6 +451,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return closure.p279_closure(e1.union(e2), doubling=True).orderBy("qid", "ancestor")
     q["q_closure_doubling"] = q_closure_doubling
+
+    # ---- same closure read back from the build-once-per-snapshot bucketed
+    # catalog table (round-4 verdict #5): first call builds + persists;
+    # while the edge snapshot's fingerprint is unchanged, every later call
+    # (and every downstream consumer joining on qid) reads the qid-bucketed
+    # parquet with NO closure recompute and NO shuffle of the closure side
+    def q_closure_materialized(spark, sf):
+        n = _t(spark, sf, "nation")
+        p = _t(spark, sf, "part")
+        e1 = n.select(
+            F.concat(F.lit("N"), F.col("n_nationkey")).alias("child_qid"),
+            F.concat(F.lit("R"), F.col("n_regionkey")).alias("parent_qid"),
+        )
+        e2 = p.where(F.col("p_partkey") % 8 != 0).select(
+            F.concat(F.lit("P"), F.col("p_partkey")).alias("child_qid"),
+            F.concat(F.lit("P"), F.col("p_partkey") - 1).alias("parent_qid"),
+        )
+        tbl = f"wb_closure_{str(sf).strip('/').split('/')[-1].replace('.', '_')}"
+        return closure.materialized_closure(
+            e1.union(e2), table_name=tbl
+        ).orderBy("qid", "ancestor")
+    q["q_closure_materialized"] = q_closure_materialized
 
     # ---- best-interwiki style priority top-1 (A6 min_by)
     def q_priority_top1(spark, sf):
@@ -846,11 +895,23 @@ def oracle_sql() -> dict[str, str]:
     places = (
         f"SELECT n_nationkey AS place_id, {PLACE_LAT} AS lat, {PLACE_LON} AS lon FROM nation"
     )
+    # even-odd across rings: containment = odd number of ring hits (hole =
+    # nested ring flips parity back off; disjoint rings = multipolygon).
+    # A lon0 > lon1 ring crosses the antimeridian: lon >= lon0 OR lon < lon1.
+    def _ring_cond(la0, la1, lo0, lo1):
+        lon_c = (
+            f"(p.lon >= {lo0} OR p.lon < {lo1})" if lo0 > lo1
+            else f"p.lon >= {lo0} AND p.lon < {lo1}"
+        )
+        return f"(p.lat >= {la0} AND p.lat < {la1} AND {lon_c})"
+
     rect_where = " OR ".join(
-        f"(r.boundary_id = {rid} AND p.lat >= {la0} AND p.lat < {la1} AND p.lon >= {lo0} AND p.lon < {lo1})"
-        for rid, la0, la1, lo0, lo1 in RECTS
+        f"(r.boundary_id = {rid} AND ("
+        + " + ".join(f"CAST({_ring_cond(*rr)} AS INT)" for rr in rects)
+        + ") % 2 = 1)"
+        for rid, rects in POLYS
     )
-    rects_values = ", ".join(f"({rid})" for rid, *_ in RECTS)
+    rects_values = ", ".join(f"({rid})" for rid, *_ in POLYS)
     pip_sql = f"""
         WITH pts AS ({events_pts}), rects(boundary_id) AS (VALUES {rects_values})
         SELECT p.event_id, r.boundary_id
@@ -1128,6 +1189,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_closure": closure_sql,
         "q_closure_doubling": closure_sql,
+        "q_closure_materialized": closure_sql,
         "q_priority_top1": """
             WITH langs(rank, lang) AS (VALUES (0,'en'),(1,'de'),(2,'fr'),(3,'nl'),(4,'ru')),
             d AS (

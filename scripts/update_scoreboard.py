@@ -46,15 +46,17 @@ def main() -> None:
         f"`entry()`, {n_queries} `queries()`, {n_oracles} exact DuckDB `oracle_sql()`",
         s,
     )
+    # both branches match BOTH phrasings so the substitution is reversible
+    # (a later rows-only query must flip the claim back off)
+    oracle_claim = (
+        r"(?:only the \d+ genuinely approximate LSH ops are rows-only"
+        r"|EVERY query has an exact oracle)"
+    )
     if n_queries == n_oracles:
-        s = re.sub(
-            r"only the \d+ genuinely approximate LSH ops are rows-only",
-            "EVERY query has an exact oracle",
-            s,
-        )
+        s = re.sub(oracle_claim, "EVERY query has an exact oracle", s)
     else:
         s = re.sub(
-            r"only the \d+ genuinely approximate LSH ops are rows-only",
+            oracle_claim,
             f"only the {n_queries - n_oracles} genuinely approximate LSH ops are rows-only",
             s,
         )

@@ -68,3 +68,65 @@ def test_instance_types_excludes_own_p279(spark):
     got = {(r["qid"], r["type_qid"]) for r in closure.instance_types(e).collect() if r["qid"] == "X"}
     assert ("X", "R") in got and ("X", "S") in got
     assert ("X", "T") not in got
+
+
+def test_materialized_closure_builds_reuses_and_invalidates(spark, tmp_path):
+    """Round-4 verdict #5: the persisted qid-bucketed closure equals the
+    inline build, a second call with the same snapshot REUSES the table
+    (no rebuild — detected via the meta fingerprint), and a changed edge
+    snapshot triggers a rebuild."""
+    name = "wb_closure_test_tbl"
+    for t in (name, name + "__meta"):
+        if spark.catalog.tableExists(t):
+            spark.sql(f"DROP TABLE {t}")
+
+    e = _edges(spark, [("A", "B", "P279"), ("B", "C", "P279"), ("X", "C", "P279")])
+    want = {(r["qid"], r["ancestor"]) for r in closure.p279_closure(e).collect()}
+    got1 = {(r["qid"], r["ancestor"])
+            for r in closure.materialized_closure(e, table_name=name).collect()}
+    assert got1 == want
+    fp1 = spark.table(name + "__meta").collect()[0]["fingerprint"]
+
+    # same snapshot -> reuse (fingerprint unchanged, same rows)
+    got2 = {(r["qid"], r["ancestor"])
+            for r in closure.materialized_closure(e, table_name=name).collect()}
+    assert got2 == want
+    assert spark.table(name + "__meta").collect()[0]["fingerprint"] == fp1
+
+    # changed snapshot -> fingerprint differs, table rebuilt with new rows
+    e2 = _edges(spark, [("A", "B", "P279"), ("B", "C", "P279"), ("C", "D", "P279")])
+    got3 = {(r["qid"], r["ancestor"])
+            for r in closure.materialized_closure(e2, table_name=name).collect()}
+    want3 = {(r["qid"], r["ancestor"]) for r in closure.p279_closure(e2).collect()}
+    assert got3 == want3 and ("A", "D") in got3
+    assert spark.table(name + "__meta").collect()[0]["fingerprint"] != fp1
+
+    # the persisted table is bucketed by qid: joining it on qid plans NO
+    # exchange of the closure side (the bucketed scan is pre-partitioned)
+    probe = spark.createDataFrame([("A",), ("B",)], "qid string")
+    joined = spark.table(name).hint("shuffle_merge").join(probe, "qid")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    import re
+    scans = plan.count("FileScan parquet")
+    assert scans >= 1
+    # the closure-side scan feeds the join without an Exchange above it:
+    # count exchanges — a bucketed sort-merge join needs at most ONE
+    # (for the probe side), never two
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 1
+
+    for t in (name, name + "__meta"):
+        spark.sql(f"DROP TABLE {t}")
+
+
+def test_shared_closure_df_matches_per_consumer_builds(spark):
+    """instance_types/classifying_ancestors with an injected closure_df
+    return exactly what their own inline builds return."""
+    e = _edges(spark, [
+        ("A", "T1", "P31"), ("T1", "T2", "P279"), ("B", "T2", "P31"),
+        ("A", "S1", "P279"), ("S1", "S2", "P279"),
+    ])
+    shared = closure.p279_closure(e.where("pid='P279'"))
+    for fn in (closure.instance_types, closure.classifying_ancestors):
+        inline = {tuple(r) for r in fn(e).collect()}
+        injected = {tuple(r) for r in fn(e, closure_df=shared).collect()}
+        assert inline == injected and inline

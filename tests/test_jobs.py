@@ -112,3 +112,33 @@ def test_streaming_flagship_ingest_exactly_once(spark, tmp_path):
     assert committed["b2"]["row_count"] == 0
     got2 = jobs.read_flagship_output(spark, out_root).toPandas()
     assert sorted(got2["image_id"]) == ["a0", "e1"]
+
+
+def test_read_flagship_output_single_scan_at_many_partitions(spark, tmp_path):
+    """read_flagship_output must issue ONE multi-path FileScan, not an
+    O(n_partitions) unionByName chain (round-4 verdict #3): at 100
+    committed partitions the plan has a single parquet relation, and the
+    output equals an explicit per-partition union."""
+    out = str(tmp_path / "out")
+    ledger = PartitionLedger(out)
+    n_parts, per = 100, 3
+    for i in range(n_parts):
+        pdf = pd.DataFrame({
+            "image_id": [f"p{i}_{j}" for j in range(per)],
+            "cell_r9": np.arange(per, dtype=np.int64) + i,
+            "boundary_id": np.arange(per, dtype=np.int64),
+        })
+        spark.createDataFrame(pdf).coalesce(1).write.parquet(f"{out}/partition=b{i}")
+        ledger.commit(f"b{i}", {"row_count": per, "input_fingerprint": "t"})
+
+    df = jobs.read_flagship_output(spark, out)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 1 and "Union" not in plan
+    assert df.count() == n_parts * per
+    manual = None
+    for i in range(n_parts):
+        p = spark.read.parquet(f"{out}/partition=b{i}")
+        manual = p if manual is None else manual.unionByName(p)
+    got = df.toPandas().sort_values("image_id").reset_index(drop=True)
+    want = manual.toPandas().sort_values("image_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)

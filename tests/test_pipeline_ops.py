@@ -621,3 +621,74 @@ def test_ngram_repetition_values(spark):
            for r in textstats.ngram_repetition(df).collect()}
     # 5 bigrams, 2 distinct -> floor(3/5 * 1000) = 600
     assert got == {1: (5, 600), 2: (4, 0), 3: (0, 0)}
+
+
+def test_sampled_hot_cells_exact_mode_boundary(spark):
+    """fraction=1.0 must be the EXACT `count > threshold` pre-pass: a cell
+    with count in (threshold/2, threshold] is NOT hot (round-4 ADVICE — the
+    old code halved the cutoff even in exact mode, so a count-20 cell
+    against threshold 30 was wrongly salted)."""
+    from wikibrain_spark.operators.knn import _sampled_hot_cells
+
+    pdf = pd.DataFrame({
+        "id": range(20 + 31 + 5),
+        "cell": ["mid"] * 20 + ["hot"] * 31 + ["cold"] * 5,
+    })
+    probe = spark.createDataFrame(pdf)
+    hot = {r["cell"] for r in _sampled_hot_cells(probe, "cell", 30, 4, 1.0).collect()}
+    assert hot == {"hot"}  # 31 > 30; 20 and 5 are not hot in exact mode
+
+
+def test_shuffle_joins_build_hot_probe_cold_sanity(spark):
+    """Pathological fixture pinning the probe-side-only salting invariant:
+    ONE cell carries 10^4 build/ring rows but only 10 probe rows. The
+    pre-pass (which measures the probe side only) correctly finds no hot
+    cell, and the join stays correct and fast — per-cell work is
+    probe x build, and the small probe factor bounds it."""
+    import time as _t
+
+    rng = np.random.default_rng(5)
+    # 10 probe points in one tight cluster (one cell at the join res)
+    a = spark.createDataFrame(pd.DataFrame({
+        "left_id": range(10),
+        "lat": rng.uniform(40.0, 40.01, 10), "lon": rng.uniform(10.0, 10.01, 10)}))
+    # 10^4 build points in the SAME cluster -> the build side of that cell
+    # is maximally hot while the probe side is cold
+    nb = 10_000
+    b = spark.createDataFrame(pd.DataFrame({
+        "right_id": range(nb),
+        "lat": rng.uniform(40.0, 40.01, nb), "lon": rng.uniform(10.0, 10.01, nb)}))
+    t0 = _t.time()
+    rows = knn.within_distance_join_shuffle(
+        a, b, km=5.0, hot_cell_threshold=30, n_salt=4,
+        hotness_sample_fraction=1.0).collect()
+    elapsed = _t.time() - t0
+    # every pair is within 5 km of every other (cluster is ~1 km wide)
+    assert len(rows) == 10 * nb
+    # runtime sanity: 10^5 candidate pairs must complete in seconds, not
+    # minutes (a build-side pre-pass over the exploded ring would cost more
+    # than the join itself)
+    assert elapsed < 60
+
+
+def test_ivf_trainer_sample_is_deterministic_and_partition_invariant(spark, embeddings):
+    """The executor-side hash-threshold sample must pick EXACTLY the
+    max_train smallest xxhash64(id) rows (same set the old global sort
+    picked), independent of input partitioning."""
+    n = embeddings.count()
+    cap = max(10, n // 3)  # force the threshold path (cap < total)
+    c1 = simsearch.train_ivf_centroids(embeddings, n_centroids=8, max_train=cap)
+    c2 = simsearch.train_ivf_centroids(
+        embeddings.repartition(17), n_centroids=8, max_train=cap)
+    assert np.array_equal(c1, c2)
+    # the chosen sample is the cap smallest hashes: reproduce it driver-side
+    want = (
+        embeddings.select(F.col("vec_id").alias("id"))
+        .withColumn("h", F.xxhash64("id")).toPandas()
+        .sort_values(["h", "id"]).head(cap)["id"].tolist()
+    )
+    # re-derive the trainer's sample via the same public path: centroids
+    # trained on the explicit driver-computed sample must match
+    sample_df = embeddings.where(F.col("vec_id").isin(want))
+    c3 = simsearch.train_ivf_centroids(sample_df, n_centroids=8, max_train=cap)
+    assert np.array_equal(c1, c3)

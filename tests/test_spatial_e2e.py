@@ -100,3 +100,70 @@ def test_image_features_shape(spark, images):
     feats = geotag.image_features(images.limit(20)).toPandas()
     assert len(feats) == 20
     assert all(len(f) == 8 * 8 * 3 for f in feats["feature"])
+
+
+def test_complex_boundaries_exercised_in_flagship(spark, paths, boundaries):
+    """The generator's complex-geometry fixtures (donut 8, enclave 9,
+    multipolygon 10, dateline 11) are present, and flagship images really
+    land in ring/enclave/multipolygon regions — so every strategy-parity
+    test above exercises holes and multi-outer parity, not just simple
+    rings (round-4 verdict #1)."""
+    want = pd.read_parquet(paths["expected_tiles"])
+    per = want.groupby("boundary_id").size()
+    assert per.get(8, 0) > 0, "no images in the donut ring"
+    assert per.get(9, 0) > 0, "no images in the enclave"
+    assert per.get(10, 0) > 0, "no images in the multipolygon"
+    assert per.get(11, 0) == 0, "dateline polygon has no image cluster"
+    # every enclave image is inside the donut's hole -> NOT matched to 8
+    in_encl = set(want.loc[want["boundary_id"] == 9, "image_id"])
+    in_donut = set(want.loc[want["boundary_id"] == 8, "image_id"])
+    assert not (in_encl & in_donut), "hole parity violated: image in both donut and enclave"
+    # dateline polygon is in the table with a wrap-spanning ring
+    mer = boundaries.where("boundary_id = 11").collect()[0]["rings"][0]
+    lons = np.asarray(mer["ring_lon"])
+    assert lons.max() - lons.min() > 180.0
+
+
+def test_all_strategies_match_numpy_oracle_on_complex_fixture(spark):
+    """All four PIP strategies return identical pairs on a fixture with a
+    donut, an enclave in its hole, a two-outer multipolygon, and a
+    dateline-crossing polygon — pinned against the NumPy kernel oracle."""
+    from wikibrain_spark.geo import pip
+
+    def rect(la0, la1, lo0, lo1, hole=False):
+        return {"ring_lat": [la0, la0, la1, la1],
+                "ring_lon": [lo0, lo1, lo1, lo0], "is_hole": hole}
+
+    rows = [
+        (3, [rect(0.0, 50.0, 100.0, 160.0), rect(10.0, 40.0, 110.0, 150.0, True)]),
+        (4, [rect(15.0, 35.0, 115.0, 145.0)]),
+        (5, [rect(-60.0, -20.0, -170.0, -150.0), rect(-60.0, -20.0, 150.0, 170.0)]),
+        (6, [rect(30.0, 60.0, 170.0, -170.0)]),
+    ]
+    bdf = spark.createDataFrame(rows, f"boundary_id long, rings {spatial_join.RINGS_TYPE}")
+    rng = np.random.default_rng(9)
+    n = 2500
+    pts = pd.DataFrame({
+        "image_id": [f"p{i}" for i in range(n)],
+        "lat": rng.uniform(-85, 85, n), "lon": rng.uniform(-180, 180, n)})
+    pdf = spark.createDataFrame(pts)
+
+    idx = pip.PolygonIndex(
+        [r[0] for r in rows],
+        rings=[[(rr["ring_lat"], rr["ring_lon"], rr["is_hole"]) for rr in r[1]] for r in rows],
+        res=3)
+    pt, poly = idx.query_batch(pts["lat"].to_numpy(), pts["lon"].to_numpy())
+    want = set(zip(pts["image_id"].to_numpy()[pt], poly.tolist()))
+    assert {p for _, p in want} == {3, 4, 5, 6}  # every fixture case fires
+
+    strategies = {
+        "broadcast": lambda: spatial_join.broadcast_pip_join(pdf, bdf),
+        "native": lambda: spatial_join.broadcast_pip_join_native(pdf, bdf),
+        "native_prefilter": lambda: spatial_join.broadcast_pip_join_native(
+            pdf, bdf, cell_prefilter_res=3),
+        "shuffle_salted": lambda: spatial_join.shuffle_pip_join(
+            pdf, bdf, hot_cell_threshold=100, n_salt=4, hotness_sample_fraction=1.0),
+    }
+    for name, fn in strategies.items():
+        got = {(r["image_id"], r["boundary_id"]) for r in fn().collect()}
+        assert got == want, f"{name} diverges from NumPy oracle"

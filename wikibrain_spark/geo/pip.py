@@ -7,6 +7,29 @@ rule, so every point lands in at most one of two polygons sharing an edge.
 Deterministic; the synthetic-fixture generator uses this same kernel as
 the ground-truth oracle (FIXTURES.md §3 tie rule).
 
+MULTIPOLYGON / HOLE / ANTIMERIDIAN model (round-4 verdict #1 — the north
+rule's real OSM boundary shape; the reference has no polygon ops at all,
+its spatial surface is point distances, wikimedia_link_issue_reporter.py
+1368-1376 / 1880-1895, so this model is new surface, not a port):
+
+* A polygon is a LIST of rings. Containment is the even-odd fill rule
+  over the union of all rings' edges: one outer ring -> classic test;
+  outer + inner (hole) ring -> a point inside both crosses an even total
+  and is OUTSIDE (enclave semantics: San Marino's boundary is a separate
+  polygon sitting inside Italy's hole); two disjoint outers -> a
+  multipolygon (either component contains the point). `is_hole` is
+  metadata (OSM inner/outer roles) used for bbox/cover construction —
+  parity itself never needs it, which is what makes the rule robust to
+  role-tagging errors in real OSM data.
+* A ring CROSSES THE ANTIMERIDIAN iff its longitude span exceeds 180°
+  (the standard heuristic: no real admin boundary spans more than half
+  the globe without crossing). Such a ring is tested in the UNWRAPPED
+  frame: ring lons < 0 shift by +360 (Fiji's [-180,-176]∪[176,180]
+  becomes a contiguous [176,184]); a point enters that frame as
+  lon+360 when lon < 0. The unwrap is per-ring — rings of one
+  multipolygon may disagree (Fiji again) — and parity composes because
+  each ring's crossing parity is frame-independent.
+
 The index buckets polygon bboxes into hexlite cells at a chosen resolution;
 lookup is O(1) per point + exact tests against only the bucket's polygons.
 This is the worker-side structure the broadcast spatial join ships: it is
@@ -19,13 +42,35 @@ import numpy as np
 
 from wikibrain_spark.geo import cells
 
+# a ring wider than half the globe is taken to cross the antimeridian
+WRAP_SPAN_DEG = 180.0
+
+
+def ring_wraps(ring_lon: np.ndarray) -> bool:
+    """True iff the ring crosses the antimeridian (lon span > 180°)."""
+    return float(np.max(ring_lon) - np.min(ring_lon)) > WRAP_SPAN_DEG
+
+
+def unwrap_lon(lon: np.ndarray) -> np.ndarray:
+    """Shift negative longitudes by +360: the frame in which a
+    dateline-crossing ring is contiguous."""
+    return np.where(lon < 0.0, lon + 360.0, lon)
+
 
 def points_in_ring(lat: np.ndarray, lon: np.ndarray, ring_lat: np.ndarray, ring_lon: np.ndarray) -> np.ndarray:
     """Even-odd test of N points against one closed ring (M vertices).
 
     Vectorized over points x edges; memory O(N*M) per call — callers chunk
-    points (the mapInPandas batch is the chunk).
+    points (the mapInPandas batch is the chunk). Antimeridian-aware: a
+    wrapping ring and the probe lons are moved to the unwrapped frame.
     """
+    lat = np.asarray(lat, dtype=np.float64)
+    lon = np.asarray(lon, dtype=np.float64)
+    ring_lat = np.asarray(ring_lat, dtype=np.float64)
+    ring_lon = np.asarray(ring_lon, dtype=np.float64)
+    if ring_wraps(ring_lon):
+        ring_lon = unwrap_lon(ring_lon)
+        lon = unwrap_lon(lon)
     y0, x0 = ring_lat, ring_lon
     y1, x1 = np.roll(ring_lat, -1), np.roll(ring_lon, -1)
     y = lat[:, None]
@@ -37,31 +82,72 @@ def points_in_ring(lat: np.ndarray, lon: np.ndarray, ring_lat: np.ndarray, ring_
     return hits.sum(axis=1) % 2 == 1
 
 
-class PolygonIndex:
-    """Grid-bucketed polygon set for batched point lookups.
+def points_in_rings(lat: np.ndarray, lon: np.ndarray, rings: list) -> np.ndarray:
+    """Even-odd test against a multipolygon: XOR of per-ring parities.
 
-    Construct from parallel arrays (pickles cheaply for Spark broadcast):
-      poly_ids  : int64[P]
-      ring_lats : list of float64[M_p]
-      ring_lons : list of float64[M_p]
+    rings: list of (ring_lat, ring_lon) or (ring_lat, ring_lon, is_hole)
+    tuples — is_hole is ignored here (parity needs no roles)."""
+    lat = np.asarray(lat, dtype=np.float64)
+    lon = np.asarray(lon, dtype=np.float64)
+    inside = np.zeros(len(lat), dtype=bool)
+    for r in rings:
+        inside ^= points_in_ring(lat, lon, np.asarray(r[0], dtype=np.float64),
+                                 np.asarray(r[1], dtype=np.float64))
+    return inside
+
+
+def _ring_tuples(ring_lats, ring_lons, rings):
+    """Normalize the two ctor forms to per-polygon ring-tuple lists."""
+    if rings is not None:
+        return [
+            [(np.asarray(r[0], dtype=np.float64), np.asarray(r[1], dtype=np.float64),
+              bool(r[2]) if len(r) > 2 else False) for r in poly]
+            for poly in rings
+        ]
+    return [
+        [(np.asarray(la, dtype=np.float64), np.asarray(lo, dtype=np.float64), False)]
+        for la, lo in zip(ring_lats, ring_lons)
+    ]
+
+
+class PolygonIndex:
+    """Grid-bucketed (multi)polygon set for batched point lookups.
+
+    Construct from parallel arrays (pickles cheaply for Spark broadcast),
+    either the legacy single-outer-ring form
+      PolygonIndex(poly_ids, ring_lats, ring_lons, res=...)
+    or the multipolygon form
+      PolygonIndex(poly_ids, rings=[[(lat_arr, lon_arr, is_hole), ...], ...])
+
+    Per polygon the index keeps one bbox PER OUTER RING (holes sit inside
+    an outer, so they never extend coverage), each tagged with its frame:
+    a dateline-crossing ring's bbox lives in the unwrapped (+360) frame.
+    The bucket cover relies on hexlite_cover_bbox's modular lon indexing,
+    which maps an unwrapped bbox onto cells on BOTH sides of ±180°.
     """
 
-    def __init__(self, poly_ids, ring_lats, ring_lons, res: int = 4):
+    def __init__(self, poly_ids, ring_lats=None, ring_lons=None, res: int = 4, rings=None):
         self.poly_ids = np.asarray(poly_ids, dtype=np.int64)
-        self.ring_lats = [np.asarray(r, dtype=np.float64) for r in ring_lats]
-        self.ring_lons = [np.asarray(r, dtype=np.float64) for r in ring_lons]
+        self.rings = _ring_tuples(ring_lats, ring_lons, rings)
         self.res = res
-        self.bbox = np.array(
-            [
-                (la.min(), la.max(), lo.min(), lo.max())
-                for la, lo in zip(self.ring_lats, self.ring_lons)
-            ],
-            dtype=np.float64,
-        ).reshape(len(self.poly_ids), 4)
+        # per polygon: list of (lat_min, lat_max, lon_min, lon_max, wrapped)
+        # over OUTER rings, lon bounds in the ring's own frame
+        self.boxes: list[list[tuple[float, float, float, float, bool]]] = []
         self.buckets: dict[int, list[int]] = {}
-        for p, (lat_min, lat_max, lon_min, lon_max) in enumerate(self.bbox):
-            for c in cells.hexlite_cover_bbox(lat_min, lat_max, lon_min, lon_max, res):
-                self.buckets.setdefault(int(c), []).append(p)
+        for p, poly in enumerate(self.rings):
+            boxes = []
+            for rlat, rlon, is_hole in poly:
+                if is_hole:
+                    continue
+                wrapped = ring_wraps(rlon)
+                rl = unwrap_lon(rlon) if wrapped else rlon
+                box = (float(rlat.min()), float(rlat.max()), float(rl.min()), float(rl.max()), wrapped)
+                boxes.append(box)
+                for c in cells.hexlite_cover_bbox(box[0], box[1], box[2], box[3], res):
+                    bucket = self.buckets.setdefault(int(c), [])
+                    if not bucket or bucket[-1] != p:
+                        bucket.append(p)
+            self.boxes.append(boxes)
 
     def candidate_polys(self, lat: np.ndarray, lon: np.ndarray) -> np.ndarray:
         """Distinct polygon positions whose bucket any point touches."""
@@ -74,20 +160,24 @@ class PolygonIndex:
     def query_batch(self, lat: np.ndarray, lon: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """All (point_idx, poly_id) containment pairs for a batch of points.
 
-        bbox prefilter then exact ring test, polygon-at-a-time (vectorized
-        over the batch's points — the batch is the Arrow batch).
+        bbox prefilter then exact even-odd test over ALL rings of the
+        polygon, polygon-at-a-time (vectorized over the batch's points —
+        the batch is the Arrow batch).
         """
         lat = np.asarray(lat, dtype=np.float64)
         lon = np.asarray(lon, dtype=np.float64)
+        lon360 = unwrap_lon(lon)
         out_pt: list[np.ndarray] = []
         out_poly: list[np.ndarray] = []
         for p in self.candidate_polys(lat, lon):
-            lat_min, lat_max, lon_min, lon_max = self.bbox[p]
-            m = (lat >= lat_min) & (lat <= lat_max) & (lon >= lon_min) & (lon <= lon_max)
+            m = np.zeros(len(lat), dtype=bool)
+            for lat_min, lat_max, lon_min, lon_max, wrapped in self.boxes[p]:
+                x = lon360 if wrapped else lon
+                m |= (lat >= lat_min) & (lat <= lat_max) & (x >= lon_min) & (x <= lon_max)
             if not m.any():
                 continue
             idx = np.nonzero(m)[0]
-            inside = points_in_ring(lat[idx], lon[idx], self.ring_lats[p], self.ring_lons[p])
+            inside = points_in_rings(lat[idx], lon[idx], self.rings[p])
             hit = idx[inside]
             if hit.size:
                 out_pt.append(hit)

@@ -128,10 +128,15 @@ def streaming_flagship_ingest(
         )
         if dim is not None:
             out = out.join(F.broadcast(dim), "boundary_id")
-        out = out.persist()
-        out.write.mode("overwrite").parquet(os.path.join(out_root, f"partition={key}"))
-        n = out.count()
-        out.unpersist()
+        part_dir = os.path.join(out_root, f"partition={key}")
+        out.write.mode("overwrite").parquet(part_dir)
+        # row_count MUST come from the WRITTEN files, not a second action on
+        # the stateful frame: the first-only dedup operator has already
+        # consumed its state by the time a recount would re-run, so a cache
+        # eviction between write and count would record 0 against a complete
+        # parquet partition. Reading the footer-counted output back is the
+        # only count that cannot diverge from what was committed.
+        n = batch_df.sparkSession.read.parquet(part_dir).count()
         if fail_before_commit and batch_id in fail_before_commit:
             raise RuntimeError(f"injected failure before ledger commit of batch {batch_id}")
         ledger.commit(key, {
@@ -156,8 +161,8 @@ def read_flagship_output(spark: SparkSession, out_root: str) -> DataFrame:
     parts = sorted(ledger.committed())
     if not parts:
         raise ValueError(f"no committed partitions under {out_root}")
-    df = None
-    for p in parts:
-        part_df = spark.read.parquet(f"{out_root}/partition={p}")
-        df = part_df if df is None else df.unionByName(part_df)
-    return df
+    # ONE multi-path scan, not a per-partition union loop: a Python-side
+    # unionByName chain builds an O(n_partitions)-deep driver plan that
+    # blows up analysis time at thousands of committed partitions, while a
+    # single FileScan over the path list stays one plan node at any count.
+    return spark.read.parquet(*(f"{out_root}/partition={p}" for p in parts))

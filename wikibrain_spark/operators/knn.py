@@ -297,8 +297,14 @@ def _sampled_hot_cells(
     localCheckpoint (eager) materializes the metadata-scale list ONCE — it
     is joined to BOTH sides, and without materialization each join re-runs
     the pre-pass scan."""
-    src = probe if fraction >= 1.0 else probe.sample(fraction=fraction, seed=7)
-    cutoff = max(1.0, hot_cell_threshold * min(fraction, 1.0) / 2.0)
+    if fraction >= 1.0:
+        # exact mode: no sampling, no variance margin — a cell is hot iff
+        # its TRUE count exceeds the threshold, bit-identical to a plain
+        # `count > threshold` pre-pass
+        src, cutoff = probe, float(hot_cell_threshold)
+    else:
+        src = probe.sample(fraction=fraction, seed=7)
+        cutoff = max(1.0, hot_cell_threshold * fraction / 2.0)
     return (
         src.groupBy(cell_col).count()
         .where(F.col("count") > cutoff)
@@ -398,6 +404,17 @@ def within_distance_join_shuffle(
       big to broadcast).
 
     hotness_sample_fraction=1.0 recovers the exact count pre-pass.
+
+    PROBE-SIDE-ONLY salting invariant: the hotness pre-pass measures only
+    the probe (single-cell) side, never the exploded ring side, and that is
+    deliberate. Per-cell join work is probe_rows x ring_rows; salting the
+    probe side splits that product across n_salt tasks regardless of which
+    factor is large. A cell that is ring-hot but probe-cold contributes
+    little total work (small probe factor), so measuring the ring side
+    would add a pre-pass over the EXPLODED frame (x ring-size rows) to
+    detect cells that never bottleneck a task. Do not "fix" this by
+    sampling both sides — see test_pipeline_ops' pathological
+    build-hot/probe-cold fixture pinning runtime sanity.
 
     Use :func:`within_distance_join` when one side is a broadcastable
     dimension (zero-shuffle narrow plan); use this when both sides are

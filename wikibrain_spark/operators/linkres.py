@@ -158,6 +158,10 @@ class ResolveConfig:
     # bench opt-in; deviates from Karney by up to ±0.12 km at 20 km, so J13
     # verdicts can differ in the (19.88, 20.12) km band)
     geodesic_kernel: str = "karney"
+    # when set, the P279 closure is served from this qid-bucketed catalog
+    # table (built once per edge snapshot, fingerprint-checked — see
+    # closure.materialized_closure) instead of rebuilt inline per run
+    closure_table: str | None = None
 
 
 # =====================================================================
@@ -227,8 +231,21 @@ def build_qid_facts(dims: WikiDims, cfg: ResolveConfig) -> DataFrame:
 
     bi = best_interwiki(dims, cfg)
 
+    # ONE P279 closure serves both consumers below (and, when
+    # cfg.closure_table is set, is a bucketed build-once-per-snapshot
+    # table — round-4 verdict #5: the closure changes with the wikidata
+    # snapshot, not per query, so consumers join the persisted qid-bucketed
+    # table instead of re-running the iterative build)
+    p279 = dims.edges.where(F.col("pid") == "P279")
+    if cfg.closure_table:
+        shared_closure = closure_ops.materialized_closure(
+            p279, table_name=cfg.closure_table, ignored=ignored
+        )
+    else:
+        shared_closure = closure_ops.p279_closure(p279, ignored=ignored)
+
     # instance types (P31 roots + their P279 closure) for disambig/list
-    types = closure_ops.instance_types(dims.edges, ignored=ignored)
+    types = closure_ops.instance_types(dims.edges, ignored=ignored, closure_df=shared_closure)
     type_flags = types.groupBy("qid").agg(
         F.max(F.col("type_qid") == "Q4167410").alias("is_disambig"),   # :1734-1735
         F.max(F.col("type_qid") == "Q13406463").alias("is_list"),      # :1753
@@ -236,7 +253,9 @@ def build_qid_facts(dims: WikiDims, cfg: ResolveConfig) -> DataFrame:
 
     # classifying ancestors (P279-closure of self ∪ closure of P31 roots,
     # :1433-1453) + reflexive self, joined to invalid_types (:1539-1732)
-    classifying = closure_ops.classifying_ancestors(dims.edges, ignored=ignored)
+    classifying = closure_ops.classifying_ancestors(
+        dims.edges, ignored=ignored, closure_df=shared_closure
+    )
     classifying = classifying.union(base.select("qid", F.col("qid").alias("ancestor"))).distinct()
     inv = knowledge.invalid_types_df(spark)
     fails = classifying.join(F.broadcast(inv), classifying["ancestor"] == inv["type_qid"])

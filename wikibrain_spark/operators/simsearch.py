@@ -155,19 +155,45 @@ def train_ivf_centroids(
     vec_col: str = "embedding",
 ) -> np.ndarray:
     """Spherical k-means coarse quantizer, trained on a deterministic
-    sample (ordered xxhash64 of the id — partitioning-independent, unlike
-    DataFrame.sample) pulled to the driver. Returns (n_centroids, dim)
-    L2-normalized float64 centroids. At 100 TB the sample cap keeps the
-    driver pull bounded; FAISS trains IVF quantizers the same way."""
-    pdf = (
-        embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-        .withColumn("h", F.xxhash64(F.col("id")))
-        .orderBy("h")
-        .limit(max_train)
-        .toPandas()
-    )
-    if pdf.empty:
+    sample (the max_train smallest xxhash64(id) values — partitioning-
+    independent, unlike DataFrame.sample) pulled to the driver. Returns
+    (n_centroids, dim) L2-normalized float64 centroids. FAISS trains IVF
+    quantizers on a bounded sample the same way.
+
+    The sample is selected EXECUTOR-SIDE: a hash-threshold filter sized
+    from a count keeps only ~max_train survivor rows per the uniform
+    xxhash64 distribution, and the driver sorts just those survivors to
+    the exact max_train smallest. A global `.orderBy(h).limit(max_train)`
+    would ship every partition's local top-max_train through one
+    driver-side merge — ~10^10 rows at 100 TB for a 10^5-row sample. The
+    threshold filter reads the same scan once and collects only the
+    survivors; the chosen sample set is bit-identical to the global sort's
+    (smallest-h rows), so centroids are unchanged."""
+    base = embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).withColumn("h", F.xxhash64(F.col("id")))
+    total = base.count()
+    if total == 0:
         raise ValueError("train_ivf_centroids: embedding table is empty — nothing to train on")
+    if total <= max_train:
+        pdf = base.toPandas()
+    else:
+        # xxhash64 is uniform over signed int64; a cutoff at quantile
+        # q = margin * max_train/total keeps ~margin*max_train survivors.
+        # margin=1.25 makes undershoot (< max_train survivors) essentially
+        # impossible at max_train >= 10^4; the widening loop makes it
+        # impossible, deterministically (cutoff depends only on total and
+        # max_train, never on partitioning or sampled randomness).
+        margin = 1.25
+        while True:
+            q = min(1.0, margin * max_train / total)
+            cutoff = int(-(2**63) + q * 2**64)
+            pdf = base.where(F.col("h") <= F.lit(min(cutoff, 2**63 - 1))).toPandas()
+            if len(pdf) >= max_train or q >= 1.0:
+                break
+            margin *= 2.0
+        # exact top-max_train smallest h (id tiebreak for full determinism)
+        pdf = pdf.sort_values(["h", "id"]).head(max_train)
     mat = np.array(pdf.sort_values("id")["v"].tolist(), dtype=np.float64)
     mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     # small corpora: a quantizer can't have more cells than training vectors

@@ -1,5 +1,11 @@
 """Point-in-polygon spatial join: geotagged points vs boundary polygons.
 
+Boundary geometry is the canonical MULTIPOLYGON `rings` schema
+(RINGS_TYPE): outer rings + holes under the even-odd fill rule, with
+per-ring antimeridian unwrap — see geo/pip.py's module doc for the model.
+Legacy single-ring frames (ring_lat/ring_lon arrays) are upgraded by
+normalize_rings at every operator entry point.
+
 Two physical strategies, one logical contract (SURVEY.md U4, J12-J14):
 
 1. broadcast_pip_join — the dimension side (boundary polygons) is small
@@ -35,13 +41,41 @@ from wikibrain_spark.geo import cells, pip
 
 COVER_RES = 4  # polygon covering resolution for the shuffle strategy
 
+# canonical boundary geometry: a MULTIPOLYGON as an array of rings
+# (outer rings + holes; even-odd fill rule — see geo/pip.py module doc)
+RINGS_TYPE = "array<struct<ring_lat: array<double>, ring_lon: array<double>, is_hole: boolean>>"
 
-def _collect_polygon_arrays(boundaries: DataFrame) -> tuple[np.ndarray, list, list]:
-    rows = boundaries.select("boundary_id", "ring_lat", "ring_lon").collect()
+
+def normalize_rings(boundaries: DataFrame) -> DataFrame:
+    """Upgrade a boundary frame to the canonical `rings` column.
+
+    Legacy frames carry a single outer ring as parallel ring_lat/ring_lon
+    arrays; they become a one-element rings array with is_hole=false.
+    Frames already carrying `rings` pass through untouched. Pure native
+    expressions — no Python, no shuffle."""
+    if "rings" in boundaries.columns:
+        return boundaries
+    wrapped = F.array(
+        F.struct(
+            F.col("ring_lat").alias("ring_lat"),
+            F.col("ring_lon").alias("ring_lon"),
+            F.lit(False).alias("is_hole"),
+        )
+    )
+    keep = [c for c in boundaries.columns if c not in ("ring_lat", "ring_lon")]
+    return boundaries.select(*keep, wrapped.alias("rings"))
+
+
+def _collect_polygon_rings(boundaries: DataFrame) -> tuple[np.ndarray, list]:
+    """Driver-side pull of the broadcast dim: (ids, per-polygon ring-tuple
+    lists) as plain Python lists (pickles cheaply into the broadcast)."""
+    rows = normalize_rings(boundaries).select("boundary_id", "rings").collect()
     ids = np.array([r["boundary_id"] for r in rows], dtype=np.int64)
-    lats = [np.array(r["ring_lat"], dtype=np.float64) for r in rows]
-    lons = [np.array(r["ring_lon"], dtype=np.float64) for r in rows]
-    return ids, lats, lons
+    rings = [
+        [(list(rr["ring_lat"]), list(rr["ring_lon"]), bool(rr["is_hole"])) for rr in r["rings"]]
+        for r in rows
+    ]
+    return ids, rings
 
 
 def broadcast_pip_join(points: DataFrame, boundaries: DataFrame, index_res: int = COVER_RES) -> DataFrame:
@@ -51,12 +85,12 @@ def broadcast_pip_join(points: DataFrame, boundaries: DataFrame, index_res: int 
     shipped via a Spark broadcast variable; workers rebuild the index once.
     """
     spark = points.sparkSession
-    ids, lats, lons = _collect_polygon_arrays(boundaries)
-    bc = spark.sparkContext.broadcast((ids, [a.tolist() for a in lats], [a.tolist() for a in lons], index_res))
+    ids, rings = _collect_polygon_rings(boundaries)
+    bc = spark.sparkContext.broadcast((ids, rings, index_res))
 
     def pip_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        p_ids, p_lats, p_lons, res = bc.value
-        index = pip.PolygonIndex(p_ids, p_lats, p_lons, res=res)  # once per partition
+        p_ids, p_rings, res = bc.value
+        index = pip.PolygonIndex(p_ids, rings=p_rings, res=res)  # once per partition
         for b in batches:
             lat = b["lat"].to_numpy()
             lon = b["lon"].to_numpy()
@@ -76,25 +110,17 @@ def broadcast_pip_join(points: DataFrame, boundaries: DataFrame, index_res: int 
     )
 
 
-def _edge_table(boundaries: DataFrame) -> DataFrame:
-    """Explode rings to edges (+ polygon bbox) as native expressions."""
-    n = F.size("ring_lat")
-    edges = F.transform(
-        F.sequence(F.lit(0), n - 1),
-        lambda i: F.struct(
-            F.element_at("ring_lat", i + 1).alias("y0"),
-            F.element_at("ring_lon", i + 1).alias("x0"),
-            F.element_at("ring_lat", F.pmod(i + 1, n) + 1).alias("y1"),
-            F.element_at("ring_lon", F.pmod(i + 1, n) + 1).alias("x1"),
-        ),
-    )
-    return boundaries.select(
-        "boundary_id",
-        F.array_min("ring_lat").alias("blat_min"), F.array_max("ring_lat").alias("blat_max"),
-        F.array_min("ring_lon").alias("blon_min"), F.array_max("ring_lon").alias("blon_max"),
-        F.explode(edges).alias("e"),
-    ).select("boundary_id", "blat_min", "blat_max", "blon_min", "blon_max",
-             "e.y0", "e.x0", "e.y1", "e.x1")
+def _ring_wraps_col(ring_lon):
+    """Native analogue of pip.ring_wraps: lon span > 180° means the ring
+    crosses the antimeridian and is handled in the unwrapped frame."""
+    return (F.array_max(ring_lon) - F.array_min(ring_lon)) > F.lit(180.0)
+
+
+def _unwrap_lon_col(ring_lon, wrapped):
+    return F.when(
+        wrapped,
+        F.transform(ring_lon, lambda x: F.when(x < 0, x + F.lit(360.0)).otherwise(x)),
+    ).otherwise(ring_lon)
 
 
 def broadcast_pip_join_native(
@@ -131,6 +157,8 @@ def broadcast_pip_join_native(
     poly_structs = polygon_structs(boundaries)
 
     lat, lon = F.col("lat"), F.col("lon")
+    # probe lon in the unwrapped frame, used against dateline-crossing rings
+    lon360 = F.when(lon < 0, lon + F.lit(360.0)).otherwise(lon)
 
     def inside(p):
         crossings = F.aggregate(
@@ -138,16 +166,19 @@ def broadcast_pip_join_native(
             F.lit(0),
             lambda acc, e: acc + F.when(
                 ((e["y0"] > lat) != (e["y1"] > lat))
-                & (lon < (e["x1"] - e["x0"]) * (lat - e["y0"])
+                & (F.when(e["w"], lon360).otherwise(lon)
+                   < (e["x1"] - e["x0"]) * (lat - e["y0"])
                    # null denominator when y1==y0 -> null predicate -> 0
                    # (never a divide-by-zero under ANSI)
                    / F.when(e["y1"] != e["y0"], e["y1"] - e["y0"]) + e["x0"]),
                 F.lit(1),
             ).otherwise(F.lit(0)),
         )
-        in_bbox = (
-            (lat >= p["lat_min"]) & (lat <= p["lat_max"])
-            & (lon >= p["lon_min"]) & (lon <= p["lon_max"])
+        in_bbox = F.exists(
+            p["boxes"],
+            lambda b: (lat >= b["lat_min"]) & (lat <= b["lat_max"])
+            & (F.when(b["w"], lon360).otherwise(lon) >= b["lon_min"])
+            & (F.when(b["w"], lon360).otherwise(lon) <= b["lon_max"]),
         )
         return F.when(in_bbox, F.pmod(crossings, F.lit(2)) == 1).otherwise(F.lit(False))
 
@@ -170,25 +201,49 @@ def broadcast_pip_join_native(
 
 
 def polygon_structs(boundaries: DataFrame) -> DataFrame:
-    """(boundary_id, p) where p = struct<bid, bbox, edges> — the row-data
-    polygon representation consumed by the native PIP fold."""
-    n = F.size("ring_lat")
-    edges = F.transform(
-        F.sequence(F.lit(0), n - 1),
-        lambda i: F.struct(
-            F.element_at("ring_lat", i + 1).alias("y0"),
-            F.element_at("ring_lon", i + 1).alias("x0"),
-            F.element_at("ring_lat", F.pmod(i + 1, n) + 1).alias("y1"),
-            F.element_at("ring_lon", F.pmod(i + 1, n) + 1).alias("x1"),
-        ),
-    )
-    return boundaries.select(
+    """(boundary_id, p) where p = struct<bid, boxes, edges> — the row-data
+    (multi)polygon representation consumed by the native PIP fold.
+
+    boxes: one bbox per OUTER ring (holes never extend coverage), lon
+    bounds in the ring's own frame with a `w` (wrapped) flag. edges: the
+    flat even-odd edge list over ALL rings, each edge tagged with its
+    ring's frame — parity composes per ring, so edges of differently-
+    framed rings (a Fiji-style multipolygon) coexist in one fold."""
+
+    def ring_edges(r):
+        la, lo = r["ring_lat"], r["ring_lon"]
+        wrapped = _ring_wraps_col(lo)
+        ulo = _unwrap_lon_col(lo, wrapped)
+        n = F.size(la)
+        return F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: F.struct(
+                F.element_at(la, i + 1).alias("y0"),
+                F.element_at(ulo, i + 1).alias("x0"),
+                F.element_at(la, F.pmod(i + 1, n) + 1).alias("y1"),
+                F.element_at(ulo, F.pmod(i + 1, n) + 1).alias("x1"),
+                wrapped.alias("w"),
+            ),
+        )
+
+    def ring_box(r):
+        wrapped = _ring_wraps_col(r["ring_lon"])
+        ulo = _unwrap_lon_col(r["ring_lon"], wrapped)
+        return F.struct(
+            F.array_min(r["ring_lat"]).alias("lat_min"),
+            F.array_max(r["ring_lat"]).alias("lat_max"),
+            F.array_min(ulo).alias("lon_min"),
+            F.array_max(ulo).alias("lon_max"),
+            wrapped.alias("w"),
+        )
+
+    rings = F.col("rings")
+    return normalize_rings(boundaries).select(
         "boundary_id",
         F.struct(
             F.col("boundary_id").alias("bid"),
-            F.array_min("ring_lat").alias("lat_min"), F.array_max("ring_lat").alias("lat_max"),
-            F.array_min("ring_lon").alias("lon_min"), F.array_max("ring_lon").alias("lon_max"),
-            edges.alias("edges"),
+            F.transform(F.filter(rings, lambda r: ~r["is_hole"]), ring_box).alias("boxes"),
+            F.flatten(F.transform(rings, ring_edges)).alias("edges"),
         ).alias("p"),
     )
 
@@ -212,14 +267,28 @@ def polygon_cover(boundaries: DataFrame, res: int = COVER_RES) -> DataFrame:
     def cover_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             out_b, out_c = [], []
-            for bid, rlat, rlon in zip(b["boundary_id"], b["ring_lat"], b["ring_lon"]):
-                rlat = np.asarray(rlat); rlon = np.asarray(rlon)
-                cover = cells.hexlite_cover_bbox(rlat.min(), rlat.max(), rlon.min(), rlon.max(), res)
+            for bid, rings in zip(b["boundary_id"], b["rings"]):
+                cover: set[int] = set()
+                for r in rings:
+                    if r["is_hole"]:
+                        continue  # holes sit inside an outer: no new cells
+                    rlat = np.asarray(r["ring_lat"], dtype=np.float64)
+                    rlon = np.asarray(r["ring_lon"], dtype=np.float64)
+                    if pip.ring_wraps(rlon):
+                        # unwrapped bbox (lon > 180): hexlite_cover_bbox's
+                        # modular lon indexing lands cells on BOTH sides
+                        # of the antimeridian
+                        rlon = pip.unwrap_lon(rlon)
+                    cover.update(
+                        cells.hexlite_cover_bbox(
+                            rlat.min(), rlat.max(), rlon.min(), rlon.max(), res
+                        ).tolist()
+                    )
                 out_b.extend([bid] * len(cover))
-                out_c.extend(cover.tolist())
+                out_c.extend(sorted(cover))
             yield pd.DataFrame({"boundary_id": out_b, "cell": out_c})
 
-    return boundaries.select("boundary_id", "ring_lat", "ring_lon").mapInPandas(
+    return normalize_rings(boundaries).select("boundary_id", "rings").mapInPandas(
         cover_batch, schema="boundary_id long, cell long"
     )
 
@@ -235,6 +304,15 @@ def shuffle_pip_join(
     """Shuffle strategy with explicit hot-cell salting.
 
     points must carry (image_id, lat, lon). Returns (image_id, boundary_id).
+
+    PROBE-SIDE-ONLY salting invariant: hotness is measured on the points
+    side only, never on the polygon-cover side. Per-cell work is
+    points x cover_rows; salting the points side splits that product
+    across n_salt tasks whichever factor is large, while a cover-hot but
+    points-cold cell does little total work — so measuring the cover side
+    would pay a pre-pass over the exploded cover frame to find cells that
+    never bottleneck a task. Pinned by the build-hot/probe-cold fixture in
+    test_pipeline_ops.
     """
     from wikibrain_spark.operators.knn import _sampled_hot_cells
 
@@ -271,22 +349,23 @@ def shuffle_pip_join(
 
     # geometry travels with the polygon side (rings are small; candidates
     # after the cell equi-join are few per point)
-    geom = boundaries.select("boundary_id", "ring_lat", "ring_lon")
+    geom = normalize_rings(boundaries).select("boundary_id", "rings")
     cand = (
         pts_salted.join(cover_salted.join(geom, "boundary_id"), ["cell", "salt"])
-        .select("image_id", "lat", "lon", "boundary_id", "ring_lat", "ring_lon")
+        .select("image_id", "lat", "lon", "boundary_id", "rings")
     )
 
     def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             b = b.reset_index(drop=True)
             keep = np.zeros(len(b), dtype=bool)
-            # group rows by boundary so each ring tests its points vectorized
+            # group rows by boundary so each polygon tests its points vectorized
             for _bid, grp in b.groupby("boundary_id", sort=False):
-                ring_lat = np.asarray(grp["ring_lat"].iloc[0], dtype=np.float64)
-                ring_lon = np.asarray(grp["ring_lon"].iloc[0], dtype=np.float64)
-                inside = pip.points_in_ring(
-                    grp["lat"].to_numpy(), grp["lon"].to_numpy(), ring_lat, ring_lon
+                rings = [
+                    (r["ring_lat"], r["ring_lon"]) for r in grp["rings"].iloc[0]
+                ]
+                inside = pip.points_in_rings(
+                    grp["lat"].to_numpy(), grp["lon"].to_numpy(), rings
                 )
                 keep[grp.index.to_numpy()] = inside
             yield b.loc[keep, ["image_id", "lat", "lon", "boundary_id"]]
@@ -309,12 +388,12 @@ def geotag_pip_fused(images: DataFrame, boundaries: DataFrame, index_res: int = 
     from wikibrain_spark import codecs
 
     spark = images.sparkSession
-    ids, lats, lons = _collect_polygon_arrays(boundaries)
-    bc = spark.sparkContext.broadcast((ids, [a.tolist() for a in lats], [a.tolist() for a in lons], index_res))
+    ids, rings = _collect_polygon_rings(boundaries)
+    bc = spark.sparkContext.broadcast((ids, rings, index_res))
 
     def fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        p_ids, p_lats, p_lons, res = bc.value
-        index = pip.PolygonIndex(p_ids, p_lats, p_lons, res=res)
+        p_ids, p_rings, res = bc.value
+        index = pip.PolygonIndex(p_ids, rings=p_rings, res=res)
         for b in batches:
             lat, lon = codecs.extract_geotags_batch(b["hdr"].tolist())
             pt_idx, poly_id = index.query_batch(lat, lon)
