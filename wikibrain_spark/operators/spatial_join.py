@@ -260,36 +260,47 @@ def candidate_cell_dim(boundaries: DataFrame, res: int) -> DataFrame:
 
 
 def polygon_cover(boundaries: DataFrame, res: int = COVER_RES) -> DataFrame:
-    """Explode each polygon to its covering cells at `res` (bbox cover).
+    """Explode each polygon to its covering cells at `res` (bbox cover of
+    every non-hole ring; holes sit inside an outer so they add no cells).
     This is the scale-side pre-pass; at 10^12 rows it runs once per polygon
-    snapshot and is tiny next to the points table."""
+    snapshot and is tiny next to the points table.
 
-    def cover_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for b in batches:
-            out_b, out_c = [], []
-            for bid, rings in zip(b["boundary_id"], b["rings"]):
-                cover: set[int] = set()
-                for r in rings:
-                    if r["is_hole"]:
-                        continue  # holes sit inside an outer: no new cells
-                    rlat = np.asarray(r["ring_lat"], dtype=np.float64)
-                    rlon = np.asarray(r["ring_lon"], dtype=np.float64)
-                    if pip.ring_wraps(rlon):
-                        # unwrapped bbox (lon > 180): hexlite_cover_bbox's
-                        # modular lon indexing lands cells on BOTH sides
-                        # of the antimeridian
-                        rlon = pip.unwrap_lon(rlon)
-                    cover.update(
-                        cells.hexlite_cover_bbox(
-                            rlat.min(), rlat.max(), rlon.min(), rlon.max(), res
-                        ).tolist()
-                    )
-                out_b.extend([bid] * len(cover))
-                out_c.extend(sorted(cover))
-            yield pd.DataFrame({"boundary_id": out_b, "cell": out_c})
+    NATIVE expressions end to end (round 5): the per-ring bbox index
+    ranges are enumerated with sequence() (codegen'd) and the cell ids
+    assembled with shift/or — zero Python in the plan, which is what lets
+    the cell-prefiltered native PIP (whose dim embeds this cover) keep the
+    flagship's no-Python-anywhere property. Bit-parity with the NumPy
+    hexlite_cover_bbox kernel is pinned in tests, dateline rings included
+    (an unwrapped bbox's lon indexes exceed n_lon and pmod back onto both
+    sides of ±180, exactly like the kernel's modular indexing)."""
+    step = cells.hexlite_step(res)
+    n_lat, n_lon = cells.hexlite_dims(res)
+    hdr = (cells.HEXLITE_MODE << 60) | (res << 56)
 
-    return normalize_rings(boundaries).select("boundary_id", "rings").mapInPandas(
-        cover_batch, schema="boundary_id long, cell long"
+    def ring_cells(r):
+        wrapped = _ring_wraps_col(r["ring_lon"])
+        ulo = _unwrap_lon_col(r["ring_lon"], wrapped)
+        la_min, la_max = F.array_min(r["ring_lat"]), F.array_max(r["ring_lat"])
+        lo_min, lo_max = F.array_min(ulo), F.array_max(ulo)
+        i0 = F.greatest(F.lit(0).cast("long"), F.floor((la_min + F.lit(90.0)) / F.lit(step)))
+        i1 = F.least(F.lit(n_lat - 1).cast("long"), F.floor((la_max + F.lit(90.0)) / F.lit(step)))
+        j0 = F.floor((lo_min + F.lit(180.0)) / F.lit(step))
+        j1 = F.floor((lo_max + F.lit(180.0)) / F.lit(step))
+        return F.flatten(F.transform(
+            F.sequence(i0, i1),
+            lambda i: F.transform(
+                F.sequence(j0, j1),
+                lambda j: F.lit(hdr).bitwiseOR(F.shiftleft(i, 28)).bitwiseOR(
+                    F.pmod(j, F.lit(n_lon))
+                ),
+            ),
+        ))
+
+    covered = F.array_distinct(F.flatten(
+        F.transform(F.filter(F.col("rings"), lambda r: ~r["is_hole"]), ring_cells)
+    ))
+    return normalize_rings(boundaries).select(
+        "boundary_id", F.explode(covered).alias("cell")
     )
 
 
@@ -413,7 +424,8 @@ def geotag_pip_fused(images: DataFrame, boundaries: DataFrame, index_res: int = 
 
 
 def tile_assignments(
-    points: DataFrame, boundaries: DataFrame, res: int = 9, strategy: str = "broadcast"
+    points: DataFrame, boundaries: DataFrame, res: int = 9, strategy: str = "broadcast",
+    native_prefilter_res: int | None = 3,
 ) -> DataFrame:
     """The flagship output row (SURVEY.md §7.1 step 3): image x containing
     boundary x tile cell + the boundary's wiki tags.
@@ -421,6 +433,15 @@ def tile_assignments(
     Returns (image_id, cell_r{res}, boundary_id, qid, wikipedia).
     strategy: 'broadcast' | 'shuffle' (points = geotagged rows), or
     'fused' (points = the raw images DataFrame; one Python hop total).
+
+    native_prefilter_res: the native strategy's cell-prefilter resolution.
+    Since round 5 the flagship native path DEFAULTS to the cell-prefiltered
+    dim: per-point work drops from O(all polygon edges) to O(cell-candidate
+    edges) — the one-row-dim fold pays every polygon's edges per point,
+    which stopped being competitive once boundaries grew multipolygon/hole
+    rings — and the dim build (polygon_cover) is now native expressions,
+    so the whole plan keeps zero Python (pinned). None selects the one-row
+    dim (the plan probes in the scaling harness still measure it).
     """
     if strategy == "fused":
         pairs = geotag_pip_fused(points, boundaries)
@@ -435,7 +456,9 @@ def tile_assignments(
             binparse.le_double_col(F.col("bytes"), 11).alias("lat"),
             binparse.le_double_col(F.col("bytes"), 19).alias("lon"),
         )
-        pairs = broadcast_pip_join_native(pts, boundaries)
+        pairs = broadcast_pip_join_native(
+            pts, boundaries, cell_prefilter_res=native_prefilter_res
+        )
     else:
         join_fn = broadcast_pip_join if strategy == "broadcast" else shuffle_pip_join
         pairs = join_fn(points, boundaries)  # carries lat/lon: no re-join shuffle

@@ -14,6 +14,9 @@ the physical layout instead of re-shuffling 100 TB per query.
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -27,8 +30,19 @@ def save_table(
 ) -> None:
     """Write a managed table with optional partition + bucket spec."""
     spark = df.sparkSession
-    if mode == "overwrite" and spark.catalog.tableExists(name):
-        spark.sql(f"DROP TABLE {name}")
+    if mode == "overwrite":
+        if spark.catalog.tableExists(name):
+            spark.sql(f"DROP TABLE {name}")
+        else:
+            # a warehouse directory left behind by a PREVIOUS session (whose
+            # in-memory metastore died with it) makes saveAsTable fail with
+            # LOCATION_ALREADY_EXISTS even though the catalog has no such
+            # table — clear the orphaned location so overwrite means
+            # overwrite across sessions, not just within one
+            wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+            loc = os.path.join(wh.removeprefix("file:"), name.lower())
+            if os.path.exists(loc):
+                shutil.rmtree(loc)
     writer = df.write.mode(mode).format("parquet")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
