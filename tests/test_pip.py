@@ -114,3 +114,21 @@ def test_polygon_index_rings_form_with_wrap_and_holes():
     east = {j for j, p in want if p == 6 and lon[j] > 0}
     west = {j for j, p in want if p == 6 and lon[j] < 0}
     assert east and west
+
+
+def test_auto_index_res_sizes_to_polygon_extent():
+    """Continent-scale polygons must get a coarse bucket grid: at a fixed
+    res 4 a 60-degree rectangle enumerates ~2x10^5 bucket cells per worker
+    (measured as the dominant broadcast-strategy cost). Small city polygons
+    must keep a fine grid."""
+    from wikibrain_spark.operators.spatial_join import _auto_index_res
+
+    big = [[([-20.0, -20.0, 40.0, 40.0], [-90.0, 0.0, 0.0, -90.0], False)]]
+    small = [[([52.0, 52.0, 52.2, 52.2], [13.0, 13.2, 13.2, 13.0], False)]]
+    r_big, r_small = _auto_index_res(big), _auto_index_res(small)
+    assert r_big < r_small
+    # the chosen res really does bound the mean cover
+    from wikibrain_spark.geo import cells as c
+    step = c.hexlite_step(r_big)
+    assert (60.0 / step + 1) * (90.0 / step + 1) <= 256
+    assert _auto_index_res([]) == 0  # degenerate: no outer rings

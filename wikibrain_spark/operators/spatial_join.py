@@ -78,14 +78,44 @@ def _collect_polygon_rings(boundaries: DataFrame) -> tuple[np.ndarray, list]:
     return ids, rings
 
 
-def broadcast_pip_join(points: DataFrame, boundaries: DataFrame, index_res: int = COVER_RES) -> DataFrame:
+def _auto_index_res(rings_per_poly, max_mean_cells: float = 256.0) -> int:
+    """Finest hexlite res whose MEAN bbox cover stays <= max_mean_cells
+    cells per outer ring. A fixed fine res is a trap for large polygons:
+    at res 4 a 60°-wide boundary enumerates ~2x10^5 bucket cells, and the
+    PolygonIndex rebuilds that dict in EVERY Python worker — measured as
+    the dominant cost of the broadcast strategy on continent-scale test
+    rectangles. Driver-side, deterministic, O(total rings)."""
+    spans = []
+    for rings in rings_per_poly:
+        for rlat, rlon, is_hole in rings:
+            if is_hole:
+                continue
+            rlat = np.asarray(rlat, dtype=np.float64)
+            rlon = np.asarray(rlon, dtype=np.float64)
+            if pip.ring_wraps(rlon):
+                rlon = pip.unwrap_lon(rlon)
+            spans.append((float(rlat.max() - rlat.min()), float(rlon.max() - rlon.min())))
+    if not spans:
+        return 0
+    for res in range(7, 0, -1):
+        step = cells.hexlite_step(res)
+        mean_cells = sum((a / step + 1.0) * (b / step + 1.0) for a, b in spans) / len(spans)
+        if mean_cells <= max_mean_cells:
+            return res
+    return 0
+
+
+def broadcast_pip_join(points: DataFrame, boundaries: DataFrame, index_res: int | None = None) -> DataFrame:
     """points(image_id, lat, lon, ...) x boundaries -> (image_id, boundary_id).
 
     The polygon set is collected on the driver (it is the broadcast dim) and
     shipped via a Spark broadcast variable; workers rebuild the index once.
-    """
+    index_res=None (default) sizes the bucket grid to the polygon extents
+    (see _auto_index_res)."""
     spark = points.sparkSession
     ids, rings = _collect_polygon_rings(boundaries)
+    if index_res is None:
+        index_res = _auto_index_res(rings)
     bc = spark.sparkContext.broadcast((ids, rings, index_res))
 
     def pip_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -386,7 +416,7 @@ def shuffle_pip_join(
     ).dropDuplicates(["image_id", "boundary_id"])
 
 
-def geotag_pip_fused(images: DataFrame, boundaries: DataFrame, index_res: int = COVER_RES) -> DataFrame:
+def geotag_pip_fused(images: DataFrame, boundaries: DataFrame, index_res: int | None = None) -> DataFrame:
     """Fused geotag-extract + PIP in ONE mapInPandas: images (image_id,
     bytes) -> (image_id, lat, lon, boundary_id).
 
@@ -395,11 +425,14 @@ def geotag_pip_fused(images: DataFrame, boundaries: DataFrame, index_res: int = 
     Python-worker count per task and the Arrow (de)serialization. Fusing
     keeps one worker per task and reads the binary column exactly once —
     use for the hot path when no intermediate columns are needed.
+    index_res=None sizes the bucket grid to the polygon extents.
     """
     from wikibrain_spark import codecs
 
     spark = images.sparkSession
     ids, rings = _collect_polygon_rings(boundaries)
+    if index_res is None:
+        index_res = _auto_index_res(rings)
     bc = spark.sparkContext.broadcast((ids, rings, index_res))
 
     def fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
