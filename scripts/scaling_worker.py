@@ -86,12 +86,26 @@ def main() -> None:
     res["flagship_rows_per_sec"] = round(n4 / res["flagship_tiles_sec"], 1)
 
     # zero-Python flagship: native header parse + data-driven HOF PIP — no
-    # Arrow channel anywhere, so this configuration carries the in-sandbox
-    # scaling-gate evidence for the flagship itself
+    # Arrow channel anywhere. TWO configurations measured since round 5:
+    # the ONE-ROW dim (per-point fold over every polygon edge — pure
+    # compute, the gate carrier continuous with rounds 2-4) and the
+    # cell-PREFILTERED dim (the round-5 production default: per-point work
+    # is O(cell candidates), but the plan adds a broadcast hash probe whose
+    # local-mode shared-socket copy term the pip3000 copy-probe row
+    # quantifies — read it against that probe, not the compute rows).
     res["flagship_native_sec"] = timed(
-        lambda: spatial_join.tile_assignments(images_rep, boundaries, res=9, strategy="native")
+        lambda: spatial_join.tile_assignments(
+            images_rep, boundaries, res=9, strategy="native",
+            native_prefilter_res=None,
+        )
     )
     res["flagship_native_rows_per_sec"] = round(n4 / res["flagship_native_sec"], 1)
+    res["flagship_native_prefilter_sec"] = timed(
+        lambda: spatial_join.tile_assignments(images_rep, boundaries, res=9, strategy="native")
+    )
+    res["flagship_native_prefilter_rows_per_sec"] = round(
+        n4 / res["flagship_native_prefilter_sec"], 1
+    )
 
     # channel-ceiling probe: an identity mapInPandas over the same row count.
     # In local mode the JVM<->Python Arrow channel tops out near ~4M rows/s
