@@ -132,3 +132,53 @@ def test_auto_index_res_sizes_to_polygon_extent():
     step = c.hexlite_step(r_big)
     assert (60.0 / step + 1) * (90.0 / step + 1) <= 256
     assert _auto_index_res([]) == 0  # degenerate: no outer rings
+
+
+def test_pole_enclosing_ring_with_closure_edges():
+    """Antarctica-style ring: coast at lat -70 plus the standard
+    OSM/GeoJSON pole-closure edges (down to -90 at ±180). Such a ring
+    spans the full longitude range in BOTH frames, so ring_wraps must NOT
+    unwrap it — raw plate-carrée even-odd handles it exactly."""
+    lons = np.linspace(-180, 180, 73)
+    ring_lon = np.concatenate([lons, [180.0, -180.0]])
+    ring_lat = np.concatenate([np.full(73, -70.0), [-90.0, -90.0]])
+    assert not pip.ring_wraps(ring_lon)
+    lat = np.array([-80.0, -85.0, -60.0, 0.0, -89.9])
+    lon = np.array([0.0, 150.0, 0.0, 0.0, -179.0])
+    got = pip.points_in_ring(lat, lon, ring_lat, ring_lon)
+    assert got.tolist() == [True, True, False, False, True]
+    # a Fiji-style ring still unwraps
+    assert pip.ring_wraps(np.array([170.0, -170.0, -170.0, 170.0]))
+
+
+def test_pole_ring_native_parity(spark):
+    """The native HOF path agrees with the NumPy kernel on the
+    pole-enclosing ring (its _ring_wraps_col must also keep the raw frame)."""
+    import pandas as pd
+    from wikibrain_spark.operators import spatial_join
+
+    lons = np.linspace(-180, 180, 37)
+    ring_lon = np.concatenate([lons, [180.0, -180.0]]).tolist()
+    ring_lat = np.concatenate([np.full(37, -70.0), [-90.0, -90.0]]).tolist()
+    bdf = spark.createDataFrame(
+        [(1, [{"ring_lat": ring_lat, "ring_lon": ring_lon, "is_hole": False}])],
+        f"boundary_id long, rings {spatial_join.RINGS_TYPE}")
+    rng = np.random.default_rng(2)
+    n = 1500
+    pts = pd.DataFrame({
+        "image_id": [f"p{i}" for i in range(n)],
+        "lat": rng.uniform(-90, 0, n), "lon": rng.uniform(-180, 180, n)})
+    pdf = spark.createDataFrame(pts)
+    want = {
+        pts["image_id"][i]
+        for i in np.nonzero(pip.points_in_rings(
+            pts["lat"].to_numpy(), pts["lon"].to_numpy(),
+            [(ring_lat, ring_lon)]))[0]
+    }
+    for fn in (
+        lambda: spatial_join.broadcast_pip_join_native(pdf, bdf),
+        lambda: spatial_join.broadcast_pip_join_native(pdf, bdf, cell_prefilter_res=2),
+        lambda: spatial_join.broadcast_pip_join(pdf, bdf),
+    ):
+        got = {r["image_id"] for r in fn().collect()}
+        assert got == want and want

@@ -22,13 +22,18 @@ its spatial surface is point distances, wikimedia_link_issue_reporter.py
   parity itself never needs it, which is what makes the rule robust to
   role-tagging errors in real OSM data.
 * A ring CROSSES THE ANTIMERIDIAN iff its longitude span exceeds 180°
-  (the standard heuristic: no real admin boundary spans more than half
-  the globe without crossing). Such a ring is tested in the UNWRAPPED
-  frame: ring lons < 0 shift by +360 (Fiji's [-180,-176]∪[176,180]
-  becomes a contiguous [176,184]); a point enters that frame as
-  lon+360 when lon < 0. The unwrap is per-ring — rings of one
-  multipolygon may disagree (Fiji again) — and parity composes because
-  each ring's crossing parity is frame-independent.
+  raw but fits within 180° unwrapped (see ring_wraps — the second
+  condition keeps pole-enclosing rings, which stay wide in both frames,
+  in the raw frame). A crossing ring is tested in
+  the UNWRAPPED frame: ring lons < 0 shift by +360 (Fiji's
+  [-180,-176]∪[176,180] becomes a contiguous [176,184]); a point enters
+  that frame as lon+360 when lon < 0. The unwrap is per-ring — rings of
+  one multipolygon may disagree (Fiji again) — and parity composes
+  because each ring's crossing parity is frame-independent.
+* A POLE-ENCLOSING ring (Antarctica) must carry the standard
+  OSM/GeoJSON pole-closure edges (run to lat ±90 at lon ±180 and close
+  along the pole); plate-carrée even-odd then handles it exactly with
+  no special casing (pinned in tests).
 
 The index buckets polygon bboxes into hexlite cells at a chosen resolution;
 lookup is O(1) per point + exact tests against only the bucket's polygons.
@@ -47,8 +52,24 @@ WRAP_SPAN_DEG = 180.0
 
 
 def ring_wraps(ring_lon: np.ndarray) -> bool:
-    """True iff the ring crosses the antimeridian (lon span > 180°)."""
-    return float(np.max(ring_lon) - np.min(ring_lon)) > WRAP_SPAN_DEG
+    """True iff the ring crosses the antimeridian AND unwrapping helps.
+
+    A Fiji-style ring has raw lon span > 180 (e.g. [-180,-176]∪[176,180]
+    spans ~352°) but collapses to a NARROW contiguous band (~8°) in the
+    unwrapped (+360) frame — unwrap it. A POLE-ENCLOSING ring
+    (Antarctica with the standard OSM/GeoJSON pole-closure edges running
+    down to lat -90 at ±180) legitimately spans (nearly) the full
+    longitude range in BOTH frames; unwrapping would tear its geometry
+    apart, while the raw plate-carrée frame handles it exactly (the
+    closure edges at ±180 provide the crossings even-odd needs). So:
+    a ring crosses the dateline iff it is wide raw but fits in half the
+    globe unwrapped."""
+    ring_lon = np.asarray(ring_lon, dtype=np.float64)
+    raw_span = float(np.max(ring_lon) - np.min(ring_lon))
+    if raw_span <= WRAP_SPAN_DEG:
+        return False
+    u = unwrap_lon(ring_lon)
+    return float(np.max(u) - np.min(u)) <= WRAP_SPAN_DEG
 
 
 def unwrap_lon(lon: np.ndarray) -> np.ndarray:

@@ -141,9 +141,14 @@ def broadcast_pip_join(points: DataFrame, boundaries: DataFrame, index_res: int 
 
 
 def _ring_wraps_col(ring_lon):
-    """Native analogue of pip.ring_wraps: lon span > 180° means the ring
-    crosses the antimeridian and is handled in the unwrapped frame."""
-    return (F.array_max(ring_lon) - F.array_min(ring_lon)) > F.lit(180.0)
+    """Native analogue of pip.ring_wraps: unwrap only when the raw span
+    exceeds 180° AND the unwrapped frame strictly reduces it (a
+    pole-enclosing ring spans the full range in both frames and must stay
+    in the raw frame — see pip.ring_wraps)."""
+    raw_span = F.array_max(ring_lon) - F.array_min(ring_lon)
+    u = F.transform(ring_lon, lambda x: F.when(x < 0, x + F.lit(360.0)).otherwise(x))
+    u_span = F.array_max(u) - F.array_min(u)
+    return (raw_span > F.lit(180.0)) & (u_span <= F.lit(180.0))
 
 
 def _unwrap_lon_col(ring_lon, wrapped):
