@@ -362,6 +362,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("event_id", "boundary_id")
     q["q_pip_shuffle_salted"] = q_pip_shuffle_salted
 
+    # ---- polar-cap PIP: a pole-enclosing ring (the OSM/GeoJSON
+    # pole-closure convention — coast at lat -70 plus closure edges down
+    # to -90 at ±180) through the REAL zero-Python native PIP fold; the
+    # cap's containment reduces exactly to lat < -70 for the oracle.
+    # Exercises the wrap-heuristic's pole branch (raw frame, no unwrap)
+    # under the driver gate, not just in pytest.
+    def q_pip_polar(spark, sf):
+        lons = [float(-180 + 5 * i) for i in range(73)]
+        ring_lon = lons + [180.0, -180.0]
+        ring_lat = [-70.0] * 73 + [-90.0, -90.0]
+        cap = spark.createDataFrame(
+            [(20, [(ring_lat, ring_lon, False)])],
+            f"boundary_id long, rings {spatial_join.RINGS_TYPE}",
+        )
+        pts = _event_points(spark, sf).withColumnRenamed("event_id", "image_id")
+        pairs = spatial_join.broadcast_pip_join_native(
+            pts.select(F.col("image_id").cast("string"), "lat", "lon"), cap
+        )
+        return pairs.select(
+            F.col("image_id").cast("long").alias("event_id"), "boundary_id"
+        ).orderBy("event_id")
+    q["q_pip_polar"] = q_pip_polar
+
     # ---- kNN (J14 distance-rank)
     def q_knn(spark, sf):
         qs = _event_points(spark, sf).where(F.col("event_id") < 20).withColumnRenamed("event_id", "query_id")
@@ -1167,6 +1190,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_pip_rectangles": pip_sql,
         "q_pip_shuffle_salted": pip_sql,  # same contract as the broadcast path
+        # the polar cap's even-odd containment reduces to a latitude band:
+        # the coast at -70 is all horizontal edges (never crossed), the two
+        # pole-closure edges at ±180 give exactly one right-side crossing
+        # for -90 < lat < -70 (lat = -70 itself is OUTSIDE under the
+        # half-open rule: no edge satisfies y0 > y != y1 > y there)
+        "q_pip_polar": f"""
+            WITH pts AS ({events_pts})
+            SELECT p.event_id, CAST(20 AS BIGINT) AS boundary_id
+            FROM pts p
+            WHERE p.lat < -70.0
+            ORDER BY p.event_id
+        """,
         "q_knn": knn_sql,
         "q_knn_kring": knn_kring_sql,
         "q_within_distance": f"""
