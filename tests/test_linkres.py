@@ -196,3 +196,30 @@ def test_tag_from_wikidata_errors(spark, dims):
     assert set(got2) == {0, 2}
     assert got2[2]["error_id"] == "tag conflict with wikidata value"
     assert dict(got2[2]["prerequisite"]) == {"wikidata": "Q777001", "teryt:simc": "BAD"}
+
+
+def test_closure_table_config_matches_inline_facts(spark, dims):
+    """ResolveConfig.closure_table serves build_qid_facts from the
+    persisted qid-bucketed closure (built once per edge snapshot) and must
+    produce EXACTLY the facts the inline closure build produces — and a
+    second call must reuse the table (meta fingerprint unchanged)."""
+    name = "wb_closure_linkres_test"
+    for t in (name, name + "__meta"):
+        if spark.catalog.tableExists(t):
+            spark.sql(f"DROP TABLE {t}")
+
+    base_cfg = linkres.ResolveConfig(languages_ordered_by_preference=["en", "de"])
+    tbl_cfg = linkres.ResolveConfig(
+        languages_ordered_by_preference=["en", "de"], closure_table=name
+    )
+    inline = linkres.build_qid_facts(dims, base_cfg).toPandas().sort_values("qid").reset_index(drop=True)
+    via_table = linkres.build_qid_facts(dims, tbl_cfg).toPandas().sort_values("qid").reset_index(drop=True)
+    pd.testing.assert_frame_equal(inline, via_table)
+    fp = spark.table(name + "__meta").collect()[0]["fingerprint"]
+
+    again = linkres.build_qid_facts(dims, tbl_cfg).toPandas().sort_values("qid").reset_index(drop=True)
+    pd.testing.assert_frame_equal(inline, again)
+    assert spark.table(name + "__meta").collect()[0]["fingerprint"] == fp
+
+    for t in (name, name + "__meta"):
+        spark.sql(f"DROP TABLE {t}")
