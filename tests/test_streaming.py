@@ -340,3 +340,49 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
                 & (F.col("cap_time") <= F.col("img_time") + F.expr("INTERVAL 30 minutes")),
             ).collect()}
     assert got == want and len(want) > 5
+
+
+def test_streaming_pip_complex_geometry_matches_batch(spark, stream_dir, tmp_path):
+    """Stream-static PIP over MULTIPOLYGON geometry: a donut (outer +
+    hole) and a dateline-crossing ring flow through the same stream-static
+    native fold, and the windowed counts equal the batch plan — pinning
+    that the rings schema and the wrap/hole handling are stream-legal."""
+    from wikibrain_spark.operators import geotag, spatial_join
+
+    def rect(la0, la1, lo0, lo1, hole=False):
+        return ([la0, la0, la1, la1], [lo0, lo1, lo1, lo0], hole)
+
+    boundaries = spark.createDataFrame(
+        [
+            (7, [rect(0.0, 50.0, -100.0, 0.0), rect(10.0, 40.0, -80.0, -20.0, True)]),
+            (8, [rect(-50.0, -5.0, 170.0, -170.0)]),
+        ],
+        f"boundary_id long, rings {spatial_join.RINGS_TYPE}",
+    )
+    counts = pipeline.streaming_pip_boundary_counts(
+        spark, stream_dir, boundaries, window_duration="10 minutes"
+    )
+    pipeline.run_stream_once(counts, str(tmp_path / "ckpt_cplx"), "pip_cplx_test")
+    got = spark.sql("select * from pip_cplx_test").toPandas()
+
+    batch = spark.read.parquet(stream_dir)
+    pts = geotag.extract_geotags(batch, resolutions=(3,), with_s2=False).join(
+        batch.select("image_id", F.timestamp_micros("event_time_us").alias("event_time")),
+        "image_id",
+    )
+    want = (
+        spatial_join.broadcast_pip_join_native(
+            pts, boundaries, cell_prefilter_res=2, extra_cols=("event_time",)
+        )
+        .groupBy(F.window("event_time", "10 minutes").alias("win"), "boundary_id")
+        .agg(F.count("*").alias("n_images"))
+        .select(F.col("win.start").alias("window_start"), "boundary_id", "n_images")
+        .toPandas()
+    )
+    key = ["window_start", "boundary_id"]
+    pd.testing.assert_frame_equal(
+        got.sort_values(key).reset_index(drop=True),
+        want.sort_values(key).reset_index(drop=True),
+        check_dtype=False,
+    )
+    assert got["n_images"].sum() > 0
