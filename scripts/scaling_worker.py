@@ -13,6 +13,8 @@ import os
 import sys
 import time
 
+from pyspark.errors import StreamingQueryException
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -303,8 +305,12 @@ def main() -> None:
                 spark, stream_src, boundaries, out_root, ckpt,
                 max_files_per_trigger=4, fail_before_commit={2},
             )
-        except Exception:
-            pass  # injected mid-commit crash (surfaces as StreamingQueryException)
+            raise AssertionError("injected crash did not fire")
+        except StreamingQueryException as e:
+            # ONLY the injected mid-commit crash may pass: a real failure in
+            # the crash path (OOM, schema error) must surface, not silently
+            # degrade into a fresh full run that still looks exactly-once
+            assert "injected failure" in str(e), f"unexpected streaming failure: {e}"
         _jobs.streaming_flagship_ingest(
             spark, stream_src, boundaries, out_root, ckpt, max_files_per_trigger=4
         )

@@ -42,6 +42,39 @@ def test_bucketed_join_has_no_shuffle(bucketed):
     assert joined.count() == 20_000
 
 
+def test_save_table_rejects_qualified_or_pathlike_names(spark):
+    """Round-5 ADVICE: the orphan-cleanup path maps name -> <warehouse>/
+    <name.lower()>, which is wrong for db.tbl and dangerous for separators
+    — such names must be rejected before any filesystem action."""
+    df = spark.range(1)
+    for bad in ("db.tbl", "../escape", "a/b", "name with space"):
+        with pytest.raises(ValueError, match="bare"):
+            catalog.save_table(df, bad)
+
+
+def test_save_table_refuses_to_delete_non_table_dir(spark, tmp_path):
+    """An unrelated directory squatting on the table's warehouse location
+    must raise, not be rmtree'd."""
+    import os
+
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").removeprefix("file:")
+    name = "wb_guard_probe_tbl"
+    if spark.catalog.tableExists(name):
+        spark.sql(f"DROP TABLE {name}")
+    loc = os.path.join(wh, name)
+    os.makedirs(loc, exist_ok=True)
+    user_file = os.path.join(loc, "precious_user_data.txt")
+    with open(user_file, "w") as f:
+        f.write("do not delete")
+    try:
+        with pytest.raises(ValueError, match="refusing"):
+            catalog.save_table(spark.range(1), name)
+        assert os.path.exists(user_file)
+    finally:
+        import shutil
+        shutil.rmtree(loc, ignore_errors=True)
+
+
 def test_unbucketed_join_does_shuffle(bucketed):
     spark = bucketed
     a = catalog.load_table(spark, "pts_bucketed")

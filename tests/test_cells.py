@@ -79,6 +79,39 @@ def test_cover_bbox_contains_point_cells():
     assert set(ids).issubset(set(cover))
 
 
+def test_cover_bbox_plus180_seam_emits_j0():
+    """An unwrapped bbox ending in [180, n_lon*step-180) stops in the
+    grid's over-wide last cell; probe points under its far-east sliver
+    (raw lon just above -180) encode to lon_idx 0, so the cover must
+    include the j=0 cell (round-5 ADVICE seam fix)."""
+    res = 3
+    step = cells.hexlite_step(res)
+    _, n_lon = cells.hexlite_dims(res)
+    assert n_lon * step > 360.0  # non-integral grid: the seam case exists
+    # Fiji-style sliver: unwrapped lon range [176, 180.2]
+    cover = cells.hexlite_cover_bbox(0.0, 10.0, 176.0, 180.2, res)
+    probe = cells.hexlite_cell(np.array([5.0]), np.array([-179.9]), res)
+    assert probe[0] in set(cover)
+    # and the exactly-180 case from the advice note
+    cover180 = cells.hexlite_cover_bbox(0.0, 10.0, 176.0, 180.0, res)
+    at_seam = cells.hexlite_cell(np.array([5.0]), np.array([180.0]), res)
+    assert at_seam[0] in set(cover180)
+    # a bbox safely inside the grid gains no extra cells
+    inner = cells.hexlite_cover_bbox(0.0, 10.0, 10.0, 20.0, res)
+    assert not any((int(c) & ((1 << 28) - 1)) == 0 for c in inner)
+
+
+def test_uv_to_st_raises_no_runtime_warning():
+    """np.where evaluates both sqrt branches; the fence must keep the
+    rejected branch's invalid-sqrt from warning (round-5 verdict #4)."""
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        ids = cells.s2_cell_id(LATS, LONS, 12)
+    assert len(ids) == len(LATS)
+
+
 def test_s2_deterministic_and_hierarchical():
     ids30 = cells.s2_cell_id(LATS, LONS, 30)
     assert np.array_equal(ids30, cells.s2_cell_id(LATS, LONS, 30))

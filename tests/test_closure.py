@@ -118,6 +118,51 @@ def test_materialized_closure_builds_reuses_and_invalidates(spark, tmp_path):
         spark.sql(f"DROP TABLE {t}")
 
 
+def test_materialized_closure_torn_rebuild_leaves_no_stale_meta(spark, monkeypatch):
+    """Round-5 ADVICE: a crash between the data write and the meta write
+    must leave NO meta row — old-fingerprint meta next to new-snapshot
+    data would spuriously validate if the edge snapshot later reverted to
+    the old fingerprint, serving the wrong closure."""
+    from wikibrain_spark.sources import catalog
+
+    name = "wb_closure_torn_tbl"
+    meta = name + "__meta"
+    for t in (name, meta):
+        if spark.catalog.tableExists(t):
+            spark.sql(f"DROP TABLE {t}")
+
+    e_old = _edges(spark, [("A", "B", "P279")])
+    want_old = {(r["qid"], r["ancestor"]) for r in closure.p279_closure(e_old).collect()}
+    got = {(r["qid"], r["ancestor"])
+           for r in closure.materialized_closure(e_old, table_name=name).collect()}
+    assert got == want_old and spark.catalog.tableExists(meta)
+
+    # new snapshot, crash injected on the META write (data already rewritten)
+    e_new = _edges(spark, [("A", "B", "P279"), ("B", "C", "P279")])
+    real_save = catalog.save_table
+
+    def crashing_save(df, tname, **kw):
+        if tname == meta:
+            raise RuntimeError("injected crash before meta write")
+        real_save(df, tname, **kw)
+
+    monkeypatch.setattr(catalog, "save_table", crashing_save)
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        closure.materialized_closure(e_new, table_name=name)
+    monkeypatch.setattr(catalog, "save_table", real_save)
+    # the fence: no meta survives a torn rebuild
+    assert not spark.catalog.tableExists(meta)
+
+    # snapshot REVERTS to the old fingerprint: must REBUILD (old rows),
+    # not validate the torn table's new-snapshot data against stale meta
+    got_reverted = {(r["qid"], r["ancestor"])
+                    for r in closure.materialized_closure(e_old, table_name=name).collect()}
+    assert got_reverted == want_old
+    for t in (name, meta):
+        spark.sql(f"DROP TABLE {t}")
+
+
 def test_shared_closure_df_matches_per_consumer_builds(spark):
     """instance_types/classifying_ancestors with an injected closure_df
     return exactly what their own inline builds return."""

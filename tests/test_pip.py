@@ -134,6 +134,60 @@ def test_auto_index_res_sizes_to_polygon_extent():
     assert _auto_index_res([]) == 0  # degenerate: no outer rings
 
 
+def test_auto_index_res_max_gate_on_skewed_mix():
+    """One continent ring among 10^3 city rings must NOT re-inherit the
+    fine-res bucket-enumeration trap: the cities dilute the MEAN below the
+    gate while the continent's own cover explodes. The max gate caps the
+    worst ring's cover (round-5 verdict #3)."""
+    from wikibrain_spark.geo import cells as c
+    from wikibrain_spark.operators.spatial_join import _auto_index_res
+
+    continent = [([-20.0, -20.0, 40.0, 40.0], [-90.0, 0.0, 0.0, -90.0], False)]
+    city = [([52.0, 52.0, 52.2, 52.2], [13.0, 13.2, 13.2, 13.0], False)]
+    skewed = [continent] + [city] * 1000
+    res = _auto_index_res(skewed)
+    step = c.hexlite_step(res)
+    # the continent's cover at the chosen res is bounded by the max gate
+    assert (60.0 / step + 1.0) * (90.0 / step + 1.0) <= 4096.0
+    # and the gate actually bound: the mean-only choice would be finer
+    mean_only = _auto_index_res(skewed, max_ring_cells=float("inf"))
+    assert res < mean_only
+
+
+def test_dateline_sliver_seam_parity(spark):
+    """A wrapped ring whose unwrapped lon_max lands just past +180 (in the
+    grid's over-wide last cell) contains probe points that encode to
+    lon_idx 0. The bucketed PolygonIndex, the native cover, and the
+    one-row fold must all keep them (round-5 ADVICE seam fix)."""
+    import pandas as pd
+    from wikibrain_spark.operators import spatial_join
+
+    # raw lons straddle ±180: unwrapped range [176, 180.2]
+    rlat = [0.0, 0.0, 10.0, 10.0]
+    rlon = [176.0, -179.8, -179.8, 176.0]
+    assert pip.ring_wraps(np.array(rlon))
+    lat = np.array([5.0, 5.0, 5.0])
+    lon = np.array([-179.9, 179.0, -179.7])  # in-sliver, in-east, outside
+    want_mask = pip.points_in_ring(lat, lon, np.array(rlat), np.array(rlon))
+    assert want_mask.tolist() == [True, True, False]
+    idx = pip.PolygonIndex([1], rings=[[(rlat, rlon, False)]], res=3)
+    got_pt, _ = idx.query_batch(lat, lon)
+    assert set(got_pt.tolist()) == {0, 1}
+    bdf = spark.createDataFrame(
+        [(1, [{"ring_lat": rlat, "ring_lon": rlon, "is_hole": False}])],
+        f"boundary_id long, rings {spatial_join.RINGS_TYPE}")
+    pdf = spark.createDataFrame(pd.DataFrame(
+        {"image_id": ["a", "b", "c"], "lat": lat, "lon": lon}))
+    for fn in (
+        lambda: spatial_join.broadcast_pip_join_native(pdf, bdf),
+        lambda: spatial_join.broadcast_pip_join_native(pdf, bdf, cell_prefilter_res=3),
+        lambda: spatial_join.broadcast_pip_join(pdf, bdf, index_res=3),
+        lambda: spatial_join.shuffle_pip_join(pdf, bdf, res=3),
+    ):
+        got = {r["image_id"] for r in fn().collect()}
+        assert got == {"a", "b"}
+
+
 def test_pole_enclosing_ring_with_closure_edges():
     """Antarctica-style ring: coast at lat -70 plus the standard
     OSM/GeoJSON pole-closure edges (down to -90 at ±180). Such a ring

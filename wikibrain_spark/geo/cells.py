@@ -106,13 +106,23 @@ def hexlite_k_ring(cell: int, k: int) -> np.ndarray:
 
 
 def hexlite_cover_bbox(lat_min, lat_max, lon_min, lon_max, res: int) -> np.ndarray:
-    """All cells intersecting a lat/lon bbox (no antimeridian crossing)."""
+    """All cells intersecting a lat/lon bbox. lon bounds may exceed +180
+    (the unwrapped frame of a dateline-crossing ring): lon indexes past the
+    grid wrap modularly onto cells on both sides of ±180."""
     step = hexlite_step(res)
     n_lat, n_lon = hexlite_dims(res)
     i0 = max(0, int(math.floor((lat_min + 90.0) / step)))
     i1 = min(n_lat - 1, int(math.floor((lat_max + 90.0) / step)))
     j0 = int(math.floor((lon_min + 180.0) / step))
     j1 = int(math.floor((lon_max + 180.0) / step))
+    # +180-seam: when 360/step is non-integral the grid's LAST cell is wider
+    # than the domain, so an unwrapped bbox ending in [180, n_lon*step-180)
+    # stops at j1 = n_lon-1 without wrapping — yet probe points under its
+    # far-east sliver (raw lon just above -180) encode to lon_idx 0. Extend
+    # one cell so the modular wrap emits j=0 (measure-zero input, but it
+    # breaks cross-strategy parity; round-5 ADVICE).
+    if lon_max >= 180.0 and j1 == n_lon - 1:
+        j1 += 1
     lat_g, lon_g = np.meshgrid(np.arange(i0, i1 + 1), np.mod(np.arange(j0, j1 + 1), n_lon), indexing="ij")
     ids = (np.int64(HEXLITE_MODE) << 60) | (np.int64(res) << 56) | (lat_g.astype(np.int64) << 28) | lon_g.astype(np.int64)
     return np.unique(ids)
@@ -161,8 +171,14 @@ _FACE_UV = (
 
 
 def _uv_to_st(u: np.ndarray) -> np.ndarray:
-    """S2 quadratic projection (the published ST_UV quadratic transform)."""
-    return np.where(u >= 0, 0.5 * np.sqrt(1.0 + 3.0 * u), 1.0 - 0.5 * np.sqrt(1.0 - 3.0 * u))
+    """S2 quadratic projection (the published ST_UV quadratic transform).
+
+    np.where evaluates BOTH branches, so one of the sqrts always sees a
+    negative argument for |u| > 1/3 — the selected value is never NaN, but
+    the rejected branch raises a RuntimeWarning without the errstate fence
+    (same class of fence as geo/pip.py's x_at_y division)."""
+    with np.errstate(invalid="ignore"):
+        return np.where(u >= 0, 0.5 * np.sqrt(1.0 + 3.0 * u), 1.0 - 0.5 * np.sqrt(1.0 - 3.0 * u))
 
 
 def _hilbert_xy2d(order: int, x: np.ndarray, y: np.ndarray) -> np.ndarray:

@@ -235,9 +235,12 @@ def materialized_closure(
     Snapshot identity is an order-independent content fingerprint
     (count + bit_xor of xxhash64(child, parent), plus the ignore list);
     a mismatch — new snapshot, different pruning — triggers a rebuild.
-    A companion one-row __meta table carries the fingerprint, written
-    AFTER the data table so a torn write re-builds rather than serving a
-    half-written table."""
+    A companion one-row __meta table carries the fingerprint, DROPPED
+    before and re-written AFTER the data table, so any torn rebuild
+    (crash between the two writes, in either order) leaves no meta row
+    at all: a stale meta sitting next to new-snapshot data would
+    spuriously VALIDATE if the edge snapshot later reverted to the old
+    fingerprint (round-5 ADVICE)."""
     from wikibrain_spark.sources import catalog
 
     spark = edges.sparkSession
@@ -251,6 +254,7 @@ def materialized_closure(
         stored = catalog.load_table(spark, meta_name).collect()
         if stored and stored[0]["fingerprint"] == fingerprint:
             return catalog.load_table(spark, table_name)
+    catalog.drop_table(spark, meta_name)  # torn-rebuild fence: no meta until data is complete
     result = p279_closure(edges, ignored=ignored, **kw)
     catalog.save_table(result, table_name, bucket_by=(n_buckets, ["qid"]))
     catalog.save_table(

@@ -78,13 +78,21 @@ def _collect_polygon_rings(boundaries: DataFrame) -> tuple[np.ndarray, list]:
     return ids, rings
 
 
-def _auto_index_res(rings_per_poly, max_mean_cells: float = 256.0) -> int:
-    """Finest hexlite res whose MEAN bbox cover stays <= max_mean_cells
-    cells per outer ring. A fixed fine res is a trap for large polygons:
-    at res 4 a 60°-wide boundary enumerates ~2x10^5 bucket cells, and the
-    PolygonIndex rebuilds that dict in EVERY Python worker — measured as
-    the dominant cost of the broadcast strategy on continent-scale test
-    rectangles. Driver-side, deterministic, O(total rings)."""
+def _auto_index_res(
+    rings_per_poly, max_mean_cells: float = 256.0, max_ring_cells: float = 4096.0
+) -> int:
+    """Finest hexlite res whose bbox cover stays <= max_mean_cells cells
+    per outer ring ON AVERAGE and <= max_ring_cells for EVERY ring. A
+    fixed fine res is a trap for large polygons: at res 4 a 60°-wide
+    boundary enumerates ~2x10^5 bucket cells, and the PolygonIndex
+    rebuilds that dict in EVERY Python worker — measured as the dominant
+    cost of the broadcast strategy on continent-scale test rectangles.
+    The max gate matters for SKEWED sets (round-5 verdict #3): one
+    continent-scale ring among 10^3 city-scale rings passes the mean gate
+    at a fine res (the cities dilute the average) and re-inherits exactly
+    that per-worker enumeration pathology — the worst ring, not the mean,
+    is what a worker's dict build actually pays per polygon. Driver-side,
+    deterministic, O(total rings)."""
     spans = []
     for rings in rings_per_poly:
         for rlat, rlon, is_hole in rings:
@@ -99,8 +107,8 @@ def _auto_index_res(rings_per_poly, max_mean_cells: float = 256.0) -> int:
         return 0
     for res in range(7, 0, -1):
         step = cells.hexlite_step(res)
-        mean_cells = sum((a / step + 1.0) * (b / step + 1.0) for a, b in spans) / len(spans)
-        if mean_cells <= max_mean_cells:
+        covers = [(a / step + 1.0) * (b / step + 1.0) for a, b in spans]
+        if sum(covers) / len(covers) <= max_mean_cells and max(covers) <= max_ring_cells:
             return res
     return 0
 
@@ -320,7 +328,14 @@ def polygon_cover(boundaries: DataFrame, res: int = COVER_RES) -> DataFrame:
         i0 = F.greatest(F.lit(0).cast("long"), F.floor((la_min + F.lit(90.0)) / F.lit(step)))
         i1 = F.least(F.lit(n_lat - 1).cast("long"), F.floor((la_max + F.lit(90.0)) / F.lit(step)))
         j0 = F.floor((lo_min + F.lit(180.0)) / F.lit(step))
-        j1 = F.floor((lo_max + F.lit(180.0)) / F.lit(step))
+        j1_raw = F.floor((lo_max + F.lit(180.0)) / F.lit(step))
+        # +180-seam (mirrors hexlite_cover_bbox bit-for-bit): an unwrapped
+        # bbox ending in the grid's over-wide last cell must also emit the
+        # j=0 cell — extend one index and let pmod wrap it
+        j1 = F.when(
+            (lo_max >= F.lit(180.0)) & (j1_raw == F.lit(n_lon - 1).cast("long")),
+            j1_raw + 1,
+        ).otherwise(j1_raw)
         return F.flatten(F.transform(
             F.sequence(i0, i1),
             lambda i: F.transform(
