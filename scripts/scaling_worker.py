@@ -274,6 +274,43 @@ def main() -> None:
         max(res["wd_shuffle_sec"] - res["wd_shuffle_transport_probe_sec"], 0.001), 3
     )
 
+    # HIGH-VERTEX clipped shuffle PIP (round-5 verdict #1+#2): 20M points
+    # against 32 coastline polygons of 1500 vertices each (~48k edges)
+    # through the cogrouped clip-to-cell shuffle strategy. The clip
+    # prepass distributes per polygon (32 tasks >= cores at both levels),
+    # the cogroup ships each cell only its LOCAL edge subset, and the
+    # payload pair below quantifies what that buys: the same join with
+    # clip_cover=False ships full rings once per covered cell
+    # (O(cells x vertices) shuffle + O(full-ring) refine folds).
+    from wikibrain_spark.sources.synthetic import _coast_ring
+
+    rngc = np.random.default_rng(77)
+    coast_rows = []
+    for i in range(32):
+        cl_la, cl_lo = _coast_ring(
+            float(rngc.uniform(-60, 60)), float(rngc.uniform(-160, 160)),
+            6.0, 1500, rngc,
+        )
+        coast_rows.append((100 + i, [(cl_la.tolist(), cl_lo.tolist(), False)]))
+    coast_df = spark.createDataFrame(
+        coast_rows, f"boundary_id long, rings {_sj.RINGS_TYPE}"
+    )
+    res["coast_polys"] = 32
+    res["coast_edges"] = 32 * 1500
+    res["coast_clip_points"] = n_pref
+    res["coast_clip_sec"] = timed(
+        lambda: _sj.shuffle_pip_join(pts_pref, coast_df)
+    )
+    res["coast_clip_rows_per_sec"] = round(n_pref / res["coast_clip_sec"], 1)
+    pts_coast_small = _pts(2_000_000)
+    res["coast_payload_points"] = 2_000_000
+    res["coast_payload_clip_sec"] = timed(
+        lambda: _sj.shuffle_pip_join(pts_coast_small, coast_df)
+    )
+    res["coast_payload_unclipped_sec"] = timed(
+        lambda: _sj.shuffle_pip_join(pts_coast_small, coast_df, clip_cover=False)
+    )
+
     # streaming flagship ingest at volume (round-4 verdict #4): the
     # exactly-once foreachBatch ingest (stateful dedup -> native PIP ->
     # partitioned parquet + ledger commit) over the full bench image
@@ -287,9 +324,16 @@ def main() -> None:
     from wikibrain_spark import jobs as _jobs
     from wikibrain_spark.streaming.checkpoint import PartitionLedger as _Ledger
 
-    stream_src = os.path.join(REPO, "data", f"stream_src_{n_images}")
+    # 64 source files / 32 per trigger (round-5 verdict #4): the old
+    # 16-file 4-per-trigger layout capped every batch's SCAN at 4 tasks —
+    # local[16] could never use its cores on the read stage — and paid ~6
+    # trigger overheads (offset commit, state snapshot, ledger, read-back
+    # count are all per-trigger and core-count-invariant). Two 32-file
+    # batches keep stage parallelism >= cores at both levels and halve the
+    # fixed-cost count, so the row measures ingest compute, not triggers.
+    stream_src = os.path.join(REPO, "data", f"stream_src64_{n_images}")
     if not os.path.exists(os.path.join(stream_src, "_SUCCESS")):
-        spark.read.parquet(paths["images"]).repartition(16).write.mode(
+        spark.read.parquet(paths["images"]).repartition(64).write.mode(
             "overwrite"
         ).parquet(stream_src)
 
@@ -303,7 +347,7 @@ def main() -> None:
         try:
             _jobs.streaming_flagship_ingest(
                 spark, stream_src, boundaries, out_root, ckpt,
-                max_files_per_trigger=4, fail_before_commit={2},
+                max_files_per_trigger=32, fail_before_commit={1},
             )
             raise AssertionError("injected crash did not fire")
         except StreamingQueryException as e:
@@ -312,7 +356,7 @@ def main() -> None:
             # degrade into a fresh full run that still looks exactly-once
             assert "injected failure" in str(e), f"unexpected streaming failure: {e}"
         _jobs.streaming_flagship_ingest(
-            spark, stream_src, boundaries, out_root, ckpt, max_files_per_trigger=4
+            spark, stream_src, boundaries, out_root, ckpt, max_files_per_trigger=32
         )
         ingest_best = min(ingest_best, time.time() - t0)
         out_df = _jobs.read_flagship_output(spark, out_root)

@@ -96,6 +96,42 @@ def test_within_distance_shuffle_plan_is_salted_shuffle_join(spark):
     assert "HashAggregate" not in plan, "hotness count leaked into the join plan"
 
 
+def test_shuffle_pip_plan_is_one_cogroup_no_post_refine_exchange(spark):
+    """Round-5 verdict #1: the shuffle PIP's refine is ONE cogrouped
+    Python stage keyed by (cell, salt) — geometry crosses the shuffle once
+    per covered cell, never per candidate pair — and its output flows out
+    with NO further exchange and NO dedup aggregate (pairs are unique by
+    construction: one (cell, salt) per point, array_distinct cover)."""
+    from wikibrain_spark.operators import spatial_join
+
+    pts = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        F.col("event_id").cast("string").alias("image_id"),
+        (F.pmod(F.col("event_id") * 7, 160) - 80.0).alias("lat"),
+        (F.pmod(F.col("event_id") * 11, 350) - 175.0).alias("lon"),
+    )
+    bnd = spark.createDataFrame(
+        [(1, [{"ring_lat": [0.0, 0.0, 30.0, 30.0],
+               "ring_lon": [-20.0, 40.0, 40.0, -20.0], "is_hole": False}])],
+        f"boundary_id long, rings {spatial_join.RINGS_TYPE}")
+    plan = _plan(spatial_join.shuffle_pip_join(
+        pts, bnd, res=3, hot_cell_threshold=10, n_salt=4))
+    assert plan.count("FlatMapCoGroupsInPandas") == 1
+    assert "HashAggregate" not in plan and "ObjectHashAggregate" not in plan
+    # toString prints downstream operators first: everything BEFORE the
+    # cogroup line is post-refine and must be exchange-free
+    post_refine = plan[: plan.find("FlatMapCoGroupsInPandas")]
+    assert "Exchange" not in post_refine, f"post-refine shuffle:\n{plan}"
+    # shuffle budget: EXACTLY the two (cell, salt) exchanges feeding the
+    # cogroup — geometry is carried through the cover prepass (no attach
+    # join at all) and the uncovered-points semi-filter broadcasts
+    # (broadcasts don't count)
+    stripped = plan.replace("BroadcastExchange", "BX")
+    assert stripped.count("Exchange") <= 2, f"extra shuffles:\n{plan}"
+    # the uncovered-points filter must be a broadcast SEMI join (no
+    # distinct aggregate, no shuffle) on the points side
+    assert "LeftSemi" in plan, f"covered-cells semi-filter missing:\n{plan}"
+
+
 def test_knn_kring_plan_has_no_dedup_aggregate(spark):
     """The ring is array_distinct and places join on a single cell, so the
     only aggregate-ish operator allowed is the top-k Window."""

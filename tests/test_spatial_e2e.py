@@ -167,3 +167,74 @@ def test_all_strategies_match_numpy_oracle_on_complex_fixture(spark):
     for name, fn in strategies.items():
         got = {(r["image_id"], r["boundary_id"]) for r in fn().collect()}
         assert got == want, f"{name} diverges from NumPy oracle"
+
+
+def test_all_strategies_match_numpy_oracle_on_coastline_fixture(spark):
+    """All four PIP strategies return identical pairs on the HIGH-VERTEX
+    coastline fixture (~12k edges: 4k-vertex outer + 2k-vertex hole,
+    3k-vertex dateline ring, two 1.5k-vertex components) — vertex count
+    is the variable real OSM boundaries stress that the <=40-vertex
+    fixtures never did (round-5 verdict #2). Oracle is the NumPy kernel."""
+    from wikibrain_spark.geo import pip
+
+    coast = synthetic.generate_coastlines()
+    assert sum(
+        len(rr["ring_lat"]) for _, r in coast.iterrows() for rr in r["rings"]
+    ) >= 10_000
+    bdf = spark.createDataFrame(
+        [
+            (int(r["boundary_id"]),
+             [(rr["ring_lat"], rr["ring_lon"], rr["is_hole"]) for rr in r["rings"]])
+            for _, r in coast.iterrows()
+        ],
+        f"boundary_id long, rings {spatial_join.RINGS_TYPE}",
+    )
+    rng = np.random.default_rng(11)
+    n = 2500
+    # half global scatter, half concentrated on the fixture regions so the
+    # hole/dateline/components branches all fire with real hit counts
+    pts = pd.DataFrame({
+        "image_id": [f"p{i}" for i in range(n)],
+        "lat": np.concatenate([
+            rng.uniform(-85, 85, n // 2),
+            rng.uniform(-45, 45, n - n // 2)]),
+        "lon": np.concatenate([
+            rng.uniform(-180, 180, n // 2),
+            np.where(rng.random(n - n // 2) < 0.5,
+                     rng.uniform(30, 90, n - n // 2),
+                     rng.uniform(160, 180, n - n // 2) * rng.choice([1.0, -1.0], n - n // 2))]),
+    })
+    pdf = spark.createDataFrame(pts)
+
+    want = set()
+    lat, lon = pts["lat"].to_numpy(), pts["lon"].to_numpy()
+    for _, r in coast.iterrows():
+        rings = [(rr["ring_lat"], rr["ring_lon"]) for rr in r["rings"]]
+        inside = pip.points_in_rings(lat, lon, rings)
+        want |= set(zip(pts["image_id"].to_numpy()[inside],
+                        [int(r["boundary_id"])] * int(inside.sum())))
+    assert {p for _, p in want} == {30, 31, 32}  # every component fires
+
+    strategies = {
+        "broadcast": lambda: spatial_join.broadcast_pip_join(pdf, bdf),
+        "native": lambda: spatial_join.broadcast_pip_join_native(pdf, bdf),
+        # the prefiltered dim replicates FULL geometry per covering cell
+        # (that is its design: candidates as row data for the native
+        # fold), so on vertex-heavy polygons its res must be coarse —
+        # res 0 keeps the dim ~13 MB where res 3 built a >1 GB broadcast
+        # (maxResultSize abort). High-vertex sets at fine res belong to
+        # the clipped shuffle strategy; this pins that the native path
+        # stays CORRECT when sized per its own rule.
+        "native_prefilter": lambda: spatial_join.broadcast_pip_join_native(
+            pdf, bdf, cell_prefilter_res=0),
+        "shuffle_salted": lambda: spatial_join.shuffle_pip_join(
+            pdf, bdf, hot_cell_threshold=200, n_salt=4, hotness_sample_fraction=1.0),
+        # clip_cover=False ships full geometry once per covered cell —
+        # the transport-heavy fallback must stay output-identical
+        "shuffle_unclipped": lambda: spatial_join.shuffle_pip_join(
+            pdf, bdf, res=2, hot_cell_threshold=200, n_salt=4,
+            hotness_sample_fraction=1.0, clip_cover=False),
+    }
+    for name, fn in strategies.items():
+        got = {(r["image_id"], r["boundary_id"]) for r in fn().collect()}
+        assert got == want, f"{name} diverges from NumPy oracle on coastline"

@@ -92,6 +92,16 @@ def points_in_ring(lat: np.ndarray, lon: np.ndarray, ring_lat: np.ndarray, ring_
     if ring_wraps(ring_lon):
         ring_lon = unwrap_lon(ring_lon)
         lon = unwrap_lon(lon)
+    return crossing_parity(lat, lon, ring_lat, ring_lon)
+
+
+def crossing_parity(
+    lat: np.ndarray, lon: np.ndarray, ring_lat: np.ndarray, ring_lon: np.ndarray
+) -> np.ndarray:
+    """Raw crossing-parity test — NO frame heuristic: ring coords and
+    probe lons must already be in the same frame. The explicit-frame
+    entrypoint for clipped cover pieces, whose pre-unwrapped fragments no
+    longer look 'wrapping-shaped' to the ring_wraps heuristic."""
     y0, x0 = ring_lat, ring_lon
     y1, x1 = np.roll(ring_lat, -1), np.roll(ring_lon, -1)
     y = lat[:, None]

@@ -46,6 +46,44 @@ COVER_RES = 4  # polygon covering resolution for the shuffle strategy
 RINGS_TYPE = "array<struct<ring_lat: array<double>, ring_lon: array<double>, is_hole: boolean>>"
 
 
+def pack_rings_col(rings):
+    """Flat array<double> wire format for a multipolygon: rings
+    concatenated, each as [n_pts, unwrap_probe, lats..., lons...], with
+    lons stored in the ring's TEST FRAME (unwrapped for dateline-crossing
+    rings) and unwrap_probe saying whether probe lons shift +360 when
+    negative. Same format geo/clip.py pack_pieces emits for clipped
+    covers, so the refine kernel is shared.
+
+    The cogrouped shuffle refine ships geometry in this format because the
+    cogroup Arrow deserializer in this pyspark/pyarrow combination
+    segfaults on any doubly-nested column (array<struct<array…>> and
+    array<array<double>> both crash the worker in arrow_to_pandas; flat
+    array<double> is fine) — and a flat double vector is also the cheapest
+    transport Arrow offers (no offsets-of-offsets, no struct dispatch).
+    Native expressions only; the per-ring transform iterates rings, not
+    vertices — the vertex arrays concat through JVM-side."""
+    def one(r):
+        w = _ring_wraps_col(r["ring_lon"])
+        return F.concat(
+            F.array(F.size(r["ring_lat"]).cast("double"), w.cast("double")),
+            r["ring_lat"], _unwrap_lon_col(r["ring_lon"], w),
+        )
+    return F.flatten(F.transform(rings, one))
+
+
+def unpack_rings(packed) -> list:
+    """Inverse of pack_rings_col / clip.pack_pieces:
+    → [(lat_arr, lon_arr_test_frame, unwrap_probe), ...]."""
+    a = np.asarray(packed, dtype=np.float64)
+    o, rings = 0, []
+    while o < a.size:
+        n = int(a[o])
+        unwrap = a[o + 1] != 0.0
+        rings.append((a[o + 2:o + 2 + n], a[o + 2 + n:o + 2 + 2 * n], unwrap))
+        o += 2 + 2 * n
+    return rings
+
+
 def normalize_rings(boundaries: DataFrame) -> DataFrame:
     """Upgrade a boundary frame to the canonical `rings` column.
 
@@ -189,8 +227,12 @@ def broadcast_pip_join_native(
     (cover_cell -> polygon-subset array) dim joined on each point's hexlite
     cell — a broadcast hash equi-join, still zero shuffle of the points —
     so each point folds only over the polygons whose bbox covers its cell.
-    This is the scale configuration for large polygon sets (per-point work
-    drops from O(all polygons) to O(cell candidates)).
+    This is the scale configuration for large polygon COUNTS (per-point
+    work drops from O(all polygons) to O(cell candidates)). Size it to
+    VERTEX weight too: the dim replicates each polygon's full geometry
+    once per covering cell, so its broadcast is O(cells x vertices) —
+    a 10^4-vertex continental ring wants res 0-1 (or the clipped shuffle
+    strategy, whose per-cell payload is the local edge subset).
 
     extra_cols: additional point-side columns carried through to the output
     (e.g. event_time on the Structured Streaming path — both plan shapes
@@ -302,7 +344,9 @@ def candidate_cell_dim(boundaries: DataFrame, res: int) -> DataFrame:
     )
 
 
-def polygon_cover(boundaries: DataFrame, res: int = COVER_RES) -> DataFrame:
+def polygon_cover(
+    boundaries: DataFrame, res: int = COVER_RES, with_rings: bool = False
+) -> DataFrame:
     """Explode each polygon to its covering cells at `res` (bbox cover of
     every non-hole ring; holes sit inside an outer so they add no cells).
     This is the scale-side pre-pass; at 10^12 rows it runs once per polygon
@@ -349,8 +393,13 @@ def polygon_cover(boundaries: DataFrame, res: int = COVER_RES) -> DataFrame:
     covered = F.array_distinct(F.flatten(
         F.transform(F.filter(F.col("rings"), lambda r: ~r["is_hole"]), ring_cells)
     ))
+    # with_rings carries the geometry THROUGH the explode (narrow op) so a
+    # consumer needing (cell, rings) rows pays no attach join — the shuffle
+    # PIP strategy keys its cogroup on this directly (one rings copy per
+    # covered cell, which is exactly its transport bound anyway)
+    keep = ["boundary_id", "rings"] if with_rings else ["boundary_id"]
     return normalize_rings(boundaries).select(
-        "boundary_id", F.explode(covered).alias("cell")
+        *keep, F.explode(covered).alias("cell")
     )
 
 
@@ -361,6 +410,7 @@ def shuffle_pip_join(
     hot_cell_threshold: int = 50_000,
     n_salt: int = 8,
     hotness_sample_fraction: float = 0.01,
+    clip_cover: bool = True,
 ) -> DataFrame:
     """Shuffle strategy with explicit hot-cell salting.
 
@@ -374,6 +424,41 @@ def shuffle_pip_join(
     would pay a pre-pass over the exploded cover frame to find cells that
     never bottleneck a task. Pinned by the build-hot/probe-cold fixture in
     test_pipeline_ops.
+
+    GROUP-ONCE GEOMETRY TRANSPORT (round-5 verdict #1): the refine stage
+    is a COGROUPED applyInPandas keyed by (cell, salt) — the points of a
+    group and the geometry of the polygons covering that cell arrive as
+    two separate frames, so each polygon's rings cross the shuffle and the
+    Arrow channel ONCE PER COVERED CELL, never once per candidate pair.
+    The previous formulation joined rings onto the candidate output, which
+    shipped a full copy of the boundary's multipolygon on EVERY
+    point x boundary row: a 10^4-vertex coastline in a 50k-point hot cell
+    serialized ~5x10^8 float pairs through one worker's Arrow channel.
+    Now that same cell ships 50k narrow point rows + one 10^4-vertex
+    geometry. The output needs NO dedup: a point belongs to exactly one
+    (cell, salt) group and polygon_cover emits array_distinct cells, so
+    (image_id, boundary_id) pairs are unique by construction (same proof
+    as within_distance_join; plan pinned in test_plan_audit).
+
+    Memory: applyInPandas materializes each cogroup whole (it does not
+    stream Arrow batches), so hot_cell_threshold is also the group-size
+    bound — a cell above it splits into n_salt groups. Points in cells no
+    polygon covers still ride the shuffle as narrow rows and return empty
+    from the refine; the broadcast strategy pays the same per-point Arrow
+    cost, so this is the strategy's baseline, not a regression.
+
+    CLIP-TO-CELL COVER (clip_cover=True, the default): once-per-cell
+    transport still duplicates the FULL geometry per covered cell —
+    O(cells x vertices) shuffle volume, ~10 GB for one 10^4-vertex
+    continental boundary at res 4. With clipping, the cover prepass
+    (a mapInPandas over the polygon DIM — once per snapshot,
+    embarrassingly parallel per polygon) ships each cell only the
+    polygon clipped to that cell's window: O(vertices + cells) total,
+    and the refine folds over a handful of LOCAL edges instead of the
+    whole ring (geo/clip.py has the parity-preservation argument).
+    clip_cover=False keeps the zero-extra-Python native cover — right
+    for low-vertex polygon sets where the clip prepass costs more than
+    the duplication saves.
     """
     from wikibrain_spark.operators.knn import _sampled_hot_cells
 
@@ -390,15 +475,53 @@ def shuffle_pip_join(
     # exact pre-pass. See knn._sampled_hot_cells for the cutoff math.
     hot = _sampled_hot_cells(pts, "cell", hot_cell_threshold, n_salt, hotness_sample_fraction)
 
-    cover = polygon_cover(boundaries, res)
+    if clip_cover:
+        from wikibrain_spark.geo import clip as _clip
+
+        def cover_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for b in batches:
+                for bid, rings in zip(b["boundary_id"], b["rings"]):
+                    pieces = _clip.clipped_cell_cover(
+                        [(r["ring_lat"], r["ring_lon"]) for r in rings], res
+                    )
+                    if not pieces:
+                        continue
+                    ids = list(pieces)
+                    yield pd.DataFrame({
+                        "boundary_id": np.full(len(ids), bid, dtype=np.int64),
+                        "cell": np.array(ids, dtype=np.int64),
+                        "geom": [_clip.pack_pieces(pieces[c]) for c in ids],
+                    })
+
+        cover = normalize_rings(boundaries).select("boundary_id", "rings").mapInPandas(
+            cover_fn, schema="boundary_id long, cell long, geom array<double>"
+        )
+    else:
+        # full geometry carried through the explode — no attach join;
+        # packed flat for the cogroup Arrow channel (see pack_rings_col)
+        cover = (
+            polygon_cover(boundaries, res, with_rings=True)
+            .withColumn("geom", pack_rings_col(F.col("rings")))
+            .drop("rings")
+        )
     # replicate polygon cover rows for hot cells: salt 0..n_salt-1
     cover_salted = (
         cover.join(F.broadcast(hot), "cell", "left")
         .withColumn("salt", F.explode(F.sequence(F.lit(0), F.coalesce(F.col("n_salt"), F.lit(1)) - 1)))
         .drop("n_salt")
     )
+    # COVERED-CELLS semi-filter: points in cells no polygon's bbox covers
+    # can never match — drop them BEFORE the shuffle and the cogroup, so
+    # neither the exchange nor the per-group Python overhead is paid for
+    # the (at sparse densities, vast) uncovered majority. The filter uses
+    # the NATIVE bbox cover enumeration (a superset of the clipped cover —
+    # clipping only ever removes cells), so it adds zero Python and no
+    # second run of the clip prepass; left_semi needs no distinct, so no
+    # aggregate enters the plan.
+    covered_cells = polygon_cover(boundaries, res).select("cell")
     pts_salted = (
-        pts.join(F.broadcast(hot), "cell", "left")
+        pts.join(F.broadcast(covered_cells), "cell", "left_semi")
+        .join(F.broadcast(hot), "cell", "left")
         .withColumn(
             "salt",
             F.when(F.col("n_salt").isNull(), F.lit(0)).otherwise(
@@ -408,32 +531,61 @@ def shuffle_pip_join(
         .drop("n_salt")
     )
 
-    # geometry travels with the polygon side (rings are small; candidates
-    # after the cell equi-join are few per point)
-    geom = normalize_rings(boundaries).select("boundary_id", "rings")
-    cand = (
-        pts_salted.join(cover_salted.join(geom, "boundary_id"), ["cell", "salt"])
-        .select("image_id", "lat", "lon", "boundary_id", "rings")
+    # geometry rides the POLYGON side of the cogroup: one row per
+    # (boundary, covered cell, salt) — bounded by the cover, not by points
+    polys_salted = cover_salted
+
+    def refine(pts_b: pd.DataFrame, polys_b: pd.DataFrame) -> pd.DataFrame:
+        if pts_b.empty or polys_b.empty:
+            return pd.DataFrame(
+                {"image_id": pd.Series(dtype=object),
+                 "lat": pd.Series(dtype=np.float64),
+                 "lon": pd.Series(dtype=np.float64),
+                 "boundary_id": pd.Series(dtype=np.int64)}
+            )
+        lat = pts_b["lat"].to_numpy()
+        lon = pts_b["lon"].to_numpy()
+        out = []
+        lon360 = np.where(lon < 0.0, lon + 360.0, lon)
+        # each covering polygon tests the group's points vectorized; the
+        # group IS the candidate set (all its points lie in the cell).
+        # Packed coords are already in each ring's test frame, so parity
+        # uses the EXPLICIT-frame kernel (the heuristic would misread
+        # clipped fragments). crossing_parity materializes points x edges
+        # — chunk the point axis so a hot (threshold-sized) group against
+        # a 10^4-vertex ring stays ~8M cells per slab, not N*M gigabytes
+        for bid, packed in zip(polys_b["boundary_id"].to_numpy(), polys_b["geom"]):
+            rings = unpack_rings(packed)
+            n_edges = sum(len(r[0]) for r in rings)
+            chunk = max(1024, 8_000_000 // max(1, n_edges))
+            hits = []
+            for s in range(0, lat.size, chunk):
+                inside = np.zeros(min(chunk, lat.size - s), dtype=bool)
+                for ys, xs, unwrap in rings:
+                    inside ^= pip.crossing_parity(
+                        lat[s:s + chunk],
+                        (lon360 if unwrap else lon)[s:s + chunk],
+                        ys, xs,
+                    )
+                hits.append(np.nonzero(inside)[0] + s)
+            idx = np.concatenate(hits) if hits else np.empty(0, dtype=np.int64)
+            if idx.size:
+                out.append(pd.DataFrame(
+                    {"image_id": pts_b["image_id"].to_numpy()[idx],
+                     "lat": lat[idx], "lon": lon[idx],
+                     "boundary_id": np.full(idx.size, bid, dtype=np.int64)}
+                ))
+        if not out:
+            return refine(pts_b.iloc[:0], polys_b.iloc[:0])
+        return pd.concat(out, ignore_index=True)
+
+    return (
+        pts_salted.groupBy("cell", "salt")
+        .cogroup(polys_salted.groupBy("cell", "salt"))
+        .applyInPandas(
+            refine, schema="image_id string, lat double, lon double, boundary_id long"
+        )
     )
-
-    def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for b in batches:
-            b = b.reset_index(drop=True)
-            keep = np.zeros(len(b), dtype=bool)
-            # group rows by boundary so each polygon tests its points vectorized
-            for _bid, grp in b.groupby("boundary_id", sort=False):
-                rings = [
-                    (r["ring_lat"], r["ring_lon"]) for r in grp["rings"].iloc[0]
-                ]
-                inside = pip.points_in_rings(
-                    grp["lat"].to_numpy(), grp["lon"].to_numpy(), rings
-                )
-                keep[grp.index.to_numpy()] = inside
-            yield b.loc[keep, ["image_id", "lat", "lon", "boundary_id"]]
-
-    return cand.mapInPandas(
-        refine, schema="image_id string, lat double, lon double, boundary_id long"
-    ).dropDuplicates(["image_id", "boundary_id"])
 
 
 def geotag_pip_fused(images: DataFrame, boundaries: DataFrame, index_res: int | None = None) -> DataFrame:

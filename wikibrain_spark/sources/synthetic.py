@@ -128,6 +128,81 @@ def generate_boundaries(rng=None) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def _coast_ring(lat0: float, lon0: float, base_r: float, n: int, rng) -> tuple[np.ndarray, np.ndarray]:
+    """A 'coastline': star-shaped ring with multi-octave radial noise.
+
+    r(theta) = base_r * clip(1 + sum_k a_k sin(f_k theta + phi_k), 0.25, ·)
+    is single-valued in theta, so the ring is simple (no self-intersection)
+    by construction at ANY vertex count; amplitudes sum to ~0.69 so
+    r in [0.31*base_r, 1.69*base_r] — callers size nested rings off those
+    bounds the same way _city_polygon fixtures do."""
+    ang = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    r = np.ones(n)
+    for k, octave in enumerate((3, 7, 13, 29, 61, 127)):
+        r += (0.28 / (k + 1)) * np.sin(octave * ang + rng.uniform(0, 2 * np.pi))
+    r = base_r * np.clip(r, 0.25, None)
+    return lat0 + r * np.sin(ang), lon0 + r * np.cos(ang)
+
+
+def generate_coastlines() -> pd.DataFrame:
+    """High-vertex 'real boundary' fixtures (round-5 verdict #2): every
+    other geometry fixture is <=~40 vertices, but real OSM admin boundaries
+    run 10^4-10^6 vertices — vertex count is the variable the geometry
+    transport and refine kernels actually stress. ~12k edges total:
+
+    * 30 Longshore — 4000-vertex coastline + 2000-vertex lagoon hole
+      (hole max radius 5.06 deg < outer min radius 5.65 deg: nested by
+      the _coast_ring radial bounds).
+    * 31 Meridian Reef — 3000-vertex dateline-crossing coastline.
+    * 32 Twin Shoals — two disjoint 1500-vertex components.
+
+    Deterministic (own seed; independent of other generators' rng draws).
+    Geometry-only frame: (boundary_id, rings)."""
+    rng = np.random.default_rng(SEED + 7)
+    lrow_lat, lrow_lon = _coast_ring(10.0, 60.0, 18.0, 4000, rng)
+    hole_lat, hole_lon = _coast_ring(10.0, 60.0, 3.0, 2000, rng)
+    m_lat, m_lon = _coast_ring(-20.0, 180.0, 10.0, 3000, rng)
+    m_lon = ((np.asarray(m_lon) + 180.0) % 360.0) - 180.0  # wrap to [-180, 180)
+    t1_lat, t1_lon = _coast_ring(-40.0, -60.0, 6.0, 1500, rng)
+    t2_lat, t2_lon = _coast_ring(-25.0, -30.0, 6.0, 1500, rng)
+    return pd.DataFrame([
+        {"boundary_id": 30, "rings": [_ring_rec(lrow_lat, lrow_lon),
+                                      _ring_rec(hole_lat, hole_lon, is_hole=True)]},
+        {"boundary_id": 31, "rings": [_ring_rec(m_lat, m_lon)]},
+        {"boundary_id": 32, "rings": [_ring_rec(t1_lat, t1_lon),
+                                      _ring_rec(t2_lat, t2_lon)]},
+    ])
+
+
+def coastline_edges(coast: pd.DataFrame) -> pd.DataFrame:
+    """Flat edge table for the DuckDB oracle: one row per directed ring
+    edge, coordinates already in each ring's TEST FRAME (a ring that is
+    wide raw but narrow unwrapped crosses the dateline; its lons — and,
+    via the `wrapped` flag, the probe lon — shift by +360 for lon < 0).
+    The frame choice restates the documented data-model convention
+    (geo/pip.py module docstring); the crossing-parity math itself is done
+    independently by the oracle SQL."""
+    rows = {k: [] for k in ("boundary_id", "y0", "x0", "y1", "x1", "wrapped")}
+    for _, b in coast.iterrows():
+        for r in b["rings"]:
+            la = np.asarray(r["ring_lat"], dtype=np.float64)
+            lo = np.asarray(r["ring_lon"], dtype=np.float64)
+            unwrapped = np.where(lo < 0.0, lo + 360.0, lo)
+            wraps = bool(
+                (lo.max() - lo.min()) > 180.0
+                and (unwrapped.max() - unwrapped.min()) <= 180.0
+            )
+            x = unwrapped if wraps else lo
+            n = la.size
+            rows["boundary_id"].append(np.full(n, b["boundary_id"], dtype=np.int64))
+            rows["y0"].append(la)
+            rows["x0"].append(x)
+            rows["y1"].append(np.roll(la, -1))
+            rows["x1"].append(np.roll(x, -1))
+            rows["wrapped"].append(np.full(n, wraps))
+    return pd.DataFrame({k: np.concatenate(v) for k, v in rows.items()})
+
+
 def generate_images(n: int, rng=None, img_hw: tuple[int, int] = (24, 32)) -> tuple[pd.DataFrame, pd.DataFrame]:
     """(images, expected_geotags). images matches BASELINE.json input_hint:
     (image_id, bytes, w, h, fmt, caption, phash)."""
