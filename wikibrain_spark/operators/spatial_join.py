@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 
 from wikibrain_spark.geo import cells, pip
 
-COVER_RES = 4  # polygon covering resolution for the shuffle strategy
+COVER_RES = 4  # polygon_cover default; shuffle_pip_join auto-sizes (_auto_cover_res)
 
 # canonical boundary geometry: a MULTIPOLYGON as an array of rings
 # (outer rings + holes; even-odd fill rule — see geo/pip.py module doc)
@@ -147,6 +147,56 @@ def _auto_index_res(
         step = cells.hexlite_step(res)
         covers = [(a / step + 1.0) * (b / step + 1.0) for a, b in spans]
         if sum(covers) / len(covers) <= max_mean_cells and max(covers) <= max_ring_cells:
+            return res
+    return 0
+
+
+def _auto_cover_res(
+    boundaries: DataFrame, max_mean_cells: float = 256.0, max_ring_cells: float = 4096.0
+) -> int:
+    """_auto_index_res for the SHUFFLE strategy: same gates (mean bbox
+    cover <= max_mean_cells per outer ring, worst ring <= max_ring_cells)
+    but computed from a native aggregate of per-ring bbox spans — the
+    shuffle side must never collect the polygon geometry to the driver
+    (its dim can be big; that is the strategy's reason to exist). The
+    cover-count formula (a/step+1)(b/step+1) = ab/step^2 + (a+b)/step + 1
+    is linear in (ab, a+b), so mean needs only E[ab], E[a+b]; the max
+    gate uses max(ab), max(a+b) — an upper bound on the worst ring's
+    cover, conservative in exactly the safe direction. One tiny agg job,
+    O(1) rows collected.
+
+    Why a fixed fine res is a trap here: the clip prepass does one
+    Sutherland-Hodgman pass per (ring, covered cell) and the cogroup pays
+    per-group Python overhead per occupied cell — at res 4 a 60-deg
+    boundary covers ~1.4x10^5 cells, turning a 3 s join into minutes
+    (measured, round 6). The gates keep both terms bounded while clipping
+    keeps the per-cell payload bounded at ANY res."""
+    r = F.col("r")
+    w = _ring_wraps_col(r["ring_lon"])
+    ulo = _unwrap_lon_col(r["ring_lon"], w)
+    spans = (
+        normalize_rings(boundaries)
+        .select(F.explode("rings").alias("r"))
+        .where(~r["is_hole"])
+        .select(
+            (F.array_max(r["ring_lat"]) - F.array_min(r["ring_lat"])).alias("a"),
+            (F.array_max(ulo) - F.array_min(ulo)).alias("b"),
+        )
+        .agg(
+            F.avg(F.col("a") * F.col("b")).alias("mean_ab"),
+            F.avg(F.col("a") + F.col("b")).alias("mean_sum"),
+            F.max(F.col("a") * F.col("b")).alias("max_ab"),
+            F.max(F.col("a") + F.col("b")).alias("max_sum"),
+        )
+        .collect()[0]
+    )
+    if spans["mean_ab"] is None:
+        return 0
+    for res in range(7, 0, -1):
+        step = cells.hexlite_step(res)
+        mean_cover = spans["mean_ab"] / step**2 + spans["mean_sum"] / step + 1.0
+        max_cover = spans["max_ab"] / step**2 + spans["max_sum"] / step + 1.0
+        if mean_cover <= max_mean_cells and max_cover <= max_ring_cells:
             return res
     return 0
 
@@ -406,7 +456,7 @@ def polygon_cover(
 def shuffle_pip_join(
     points: DataFrame,
     boundaries: DataFrame,
-    res: int = COVER_RES,
+    res: int | None = None,
     hot_cell_threshold: int = 50_000,
     n_salt: int = 8,
     hotness_sample_fraction: float = 0.01,
@@ -462,6 +512,8 @@ def shuffle_pip_join(
     """
     from wikibrain_spark.operators.knn import _sampled_hot_cells
 
+    if res is None:
+        res = _auto_cover_res(boundaries)
     spark = points.sparkSession
     pts = points.select(
         "image_id", "lat", "lon",
