@@ -101,6 +101,30 @@ def test_cover_bbox_plus180_seam_emits_j0():
     assert not any((int(c) & ((1 << 28) - 1)) == 0 for c in inner)
 
 
+def test_cover_bbox_wrapped_raw_negative_cells_at_odd_res():
+    """Round-6 correctness fix: the raw-negative portion of an unwrapped
+    dateline bbox must be enumerated through the PROBE formula, not by
+    wrapping lon indexes modulo n_lon — at odd resolutions 360/step is
+    non-integral (sqrt7 ladder), so index-modular wrap shifts longitude
+    by n_lon*step - 360 (2.85 deg at res 1!) and drops probes near the
+    bbox's raw-negative edge (caught as a 44-row cross-strategy diff on
+    the Meridia fixture once auto cover res landed on 1)."""
+    for res in (1, 3, 5):
+        step = cells.hexlite_step(res)
+        _, n_lon = cells.hexlite_dims(res)
+        assert abs(n_lon * step - 360.0) > 1e-9  # the drift case exists
+        # Meridia-style ring: raw lon 170 .. -170, unwrapped 170 .. 190
+        cover = set(int(c) for c in cells.hexlite_cover_bbox(30.0, 60.0, 170.0, 190.0, res))
+        probe_lons = np.arange(-179.9, -170.0, 0.37)  # whole raw-negative extent
+        probe_lats = np.full(probe_lons.size, 50.8)
+        for pc in cells.hexlite_cell(probe_lats, probe_lons, res):
+            assert int(pc) in cover, f"res {res}: probe cell {pc} missing"
+        # and the raw-positive side too
+        probe_lons = np.arange(170.1, 179.9, 0.37)
+        for pc in cells.hexlite_cell(np.full(probe_lons.size, 50.8), probe_lons, res):
+            assert int(pc) in cover, f"res {res}: raw-positive probe {pc} missing"
+
+
 def test_uv_to_st_raises_no_runtime_warning():
     """np.where evaluates both sqrt branches; the fence must keep the
     rejected branch's invalid-sqrt from warning (round-5 verdict #4)."""

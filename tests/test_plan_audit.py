@@ -98,10 +98,15 @@ def test_within_distance_shuffle_plan_is_salted_shuffle_join(spark):
 
 def test_shuffle_pip_plan_is_one_cogroup_no_post_refine_exchange(spark):
     """Round-5 verdict #1: the shuffle PIP's refine is ONE cogrouped
-    Python stage keyed by (cell, salt) — geometry crosses the shuffle once
-    per covered cell, never per candidate pair — and its output flows out
-    with NO further exchange and NO dedup aggregate (pairs are unique by
-    construction: one (cell, salt) per point, array_distinct cover)."""
+    Python stage keyed by (bucket, salt) — geometry crosses the shuffle
+    once per covered cell, never per candidate pair — and its output flows
+    out with NO further exchange and NO dedup aggregate (pairs are unique
+    by construction: one (cell, salt) per point, each (boundary, cell)
+    once in the cover). The two exchanges feeding the cogroup are the
+    explicit numbered repartitions (round 6): a user-specified partition
+    count is exempt from AQE coalescing, which otherwise folds this
+    deliberately-light shuffle into one task and serializes every group
+    behind a single Python worker."""
     from wikibrain_spark.operators import spatial_join
 
     pts = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
@@ -121,10 +126,10 @@ def test_shuffle_pip_plan_is_one_cogroup_no_post_refine_exchange(spark):
     # cogroup line is post-refine and must be exchange-free
     post_refine = plan[: plan.find("FlatMapCoGroupsInPandas")]
     assert "Exchange" not in post_refine, f"post-refine shuffle:\n{plan}"
-    # shuffle budget: EXACTLY the two (cell, salt) exchanges feeding the
-    # cogroup — geometry is carried through the cover prepass (no attach
-    # join at all) and the uncovered-points semi-filter broadcasts
-    # (broadcasts don't count)
+    # shuffle budget: EXACTLY the two (bucket, salt) repartitions feeding
+    # the cogroup (reused by it — no third exchange) — geometry is carried
+    # through the cover prepass (no attach join at all) and the
+    # uncovered-points semi-filter broadcasts (broadcasts don't count)
     stripped = plan.replace("BroadcastExchange", "BX")
     assert stripped.count("Exchange") <= 2, f"extra shuffles:\n{plan}"
     # the uncovered-points filter must be a broadcast SEMI join (no

@@ -106,24 +106,34 @@ def hexlite_k_ring(cell: int, k: int) -> np.ndarray:
 
 
 def hexlite_cover_bbox(lat_min, lat_max, lon_min, lon_max, res: int) -> np.ndarray:
-    """All cells intersecting a lat/lon bbox. lon bounds may exceed +180
-    (the unwrapped frame of a dateline-crossing ring): lon indexes past the
-    grid wrap modularly onto cells on both sides of ±180."""
+    """All cells containing any probe point inside a lat/lon bbox. lon
+    bounds may exceed +180 (the unwrapped frame of a dateline-crossing
+    ring): the portion beyond 180 covers cells whose probes arrive with
+    RAW (negative) longitudes, so its columns are enumerated through the
+    probe formula — j = floor((x - 180) / step) for unwrapped x >= 180,
+    exactly where a raw probe at x - 360 encodes. Index-modular wrapping
+    (the previous formulation) is NOT equivalent: it shifts longitude by
+    n_lon*step - 360, which is non-zero at odd resolutions (the sqrt7
+    ladder makes 360/step non-integral there — up to 2.85 deg at res 1),
+    displacing the raw-negative columns by up to a full cell (round-6
+    correctness fix; subsumes the round-5 +180-seam special case)."""
     step = hexlite_step(res)
     n_lat, n_lon = hexlite_dims(res)
     i0 = max(0, int(math.floor((lat_min + 90.0) / step)))
     i1 = min(n_lat - 1, int(math.floor((lat_max + 90.0) / step)))
-    j0 = int(math.floor((lon_min + 180.0) / step))
-    j1 = int(math.floor((lon_max + 180.0) / step))
-    # +180-seam: when 360/step is non-integral the grid's LAST cell is wider
-    # than the domain, so an unwrapped bbox ending in [180, n_lon*step-180)
-    # stops at j1 = n_lon-1 without wrapping — yet probe points under its
-    # far-east sliver (raw lon just above -180) encode to lon_idx 0. Extend
-    # one cell so the modular wrap emits j=0 (measure-zero input, but it
-    # breaks cross-strategy parity; round-5 ADVICE).
-    if lon_max >= 180.0 and j1 == n_lon - 1:
-        j1 += 1
-    lat_g, lon_g = np.meshgrid(np.arange(i0, i1 + 1), np.mod(np.arange(j0, j1 + 1), n_lon), indexing="ij")
+    cols: list[int] = []
+    if lon_min < 180.0:  # raw >= -180 branch: probes keep their longitude
+        a = max(0, int(math.floor((lon_min + 180.0) / step)))
+        b = min(n_lon - 1, int(math.floor(
+            (min(lon_max, np.nextafter(180.0, 0.0)) + 180.0) / step)))
+        cols.extend(range(a, b + 1))
+    if lon_max >= 180.0:  # raw < 0 branch: probes arrive at x - 360
+        a = max(0, int(math.floor((max(lon_min, 180.0) - 180.0) / step)))
+        b = min(n_lon - 1, int(math.floor((lon_max - 180.0) / step)))
+        cols.extend(range(a, b + 1))
+    lat_g, lon_g = np.meshgrid(
+        np.arange(i0, i1 + 1), np.unique(np.asarray(cols, dtype=np.int64)), indexing="ij"
+    )
     ids = (np.int64(HEXLITE_MODE) << 60) | (np.int64(res) << 56) | (lat_g.astype(np.int64) << 28) | lon_g.astype(np.int64)
     return np.unique(ids)
 

@@ -153,8 +153,9 @@ class PolygonIndex:
     Per polygon the index keeps one bbox PER OUTER RING (holes sit inside
     an outer, so they never extend coverage), each tagged with its frame:
     a dateline-crossing ring's bbox lives in the unwrapped (+360) frame.
-    The bucket cover relies on hexlite_cover_bbox's modular lon indexing,
-    which maps an unwrapped bbox onto cells on BOTH sides of ±180°.
+    The bucket cover relies on hexlite_cover_bbox's two-branch probe-
+    formula enumeration, which maps an unwrapped bbox onto cells on BOTH
+    sides of ±180° exactly where raw probe longitudes encode.
     """
 
     def __init__(self, poly_ids, ring_lats=None, ring_lons=None, res: int = 4, rings=None):

@@ -151,26 +151,40 @@ def _auto_index_res(
     return 0
 
 
-def _auto_cover_res(
-    boundaries: DataFrame, max_mean_cells: float = 256.0, max_ring_cells: float = 4096.0
-) -> int:
-    """_auto_index_res for the SHUFFLE strategy: same gates (mean bbox
-    cover <= max_mean_cells per outer ring, worst ring <= max_ring_cells)
-    but computed from a native aggregate of per-ring bbox spans — the
-    shuffle side must never collect the polygon geometry to the driver
-    (its dim can be big; that is the strategy's reason to exist). The
-    cover-count formula (a/step+1)(b/step+1) = ab/step^2 + (a+b)/step + 1
-    is linear in (ab, a+b), so mean needs only E[ab], E[a+b]; the max
-    gate uses max(ab), max(a+b) — an upper bound on the worst ring's
-    cover, conservative in exactly the safe direction. One tiny agg job,
-    O(1) rows collected.
+_AUTO_COVER_RES_CACHE: dict[tuple[int, float, float], int] = {}
 
-    Why a fixed fine res is a trap here: the clip prepass does one
-    Sutherland-Hodgman pass per (ring, covered cell) and the cogroup pays
-    per-group Python overhead per occupied cell — at res 4 a 60-deg
-    boundary covers ~1.4x10^5 cells, turning a 3 s join into minutes
-    (measured, round 6). The gates keep both terms bounded while clipping
-    keeps the per-cell payload bounded at ANY res."""
+
+def _auto_cover_res(
+    boundaries: DataFrame, max_mean_cells: float = 1024.0, max_ring_cells: float = 16384.0
+) -> int:
+    """_auto_index_res for the SHUFFLE strategy: analogous gates (mean
+    bbox cover <= max_mean_cells per outer ring, worst ring <=
+    max_ring_cells) but computed from a native aggregate of per-ring bbox
+    spans — the shuffle side must never collect the polygon geometry to
+    the driver (its dim can be big; that is the strategy's reason to
+    exist). The cover-count formula
+    (a/step+1)(b/step+1) = ab/step^2 + (a+b)/step + 1 is linear in
+    (ab, a+b), so mean needs only E[ab], E[a+b]; the max gate uses
+    max(ab), max(a+b) — an upper bound on the worst ring's cover,
+    conservative in exactly the safe direction. One tiny agg job, O(1)
+    rows collected, memoized per logical plan (semanticHash) so repeated
+    joins against the same boundary snapshot pay it once per session
+    (treats a boundary snapshot as immutable for the session — the same
+    assumption the broadcast strategy's PolygonIndex pull makes; res is a
+    perf knob, so a stale hit can never change the output rows).
+
+    What the gates bound (round 6, bucketed cogroup): group count no
+    longer scales with the cover (see shuffle_pip_join's BOUNDED GROUP
+    COUNT note), so the res cost model is (a) the clip prepass — one
+    Sutherland-Hodgman strip/column pass per (ring, covered cell),
+    ~0.1 ms/cell, single task per polygon, so max_ring_cells ~= a 2 s
+    worst-polygon task — and (b) cover row count (tiny rows). Finer res
+    buys pruning: fewer points survive the covered-cells semi-filter and
+    each cover row tests fewer points, so the gates sit as fine as the
+    prepass allows rather than as coarse as correctness allows."""
+    key = (boundaries.semanticHash(), max_mean_cells, max_ring_cells)
+    if key in _AUTO_COVER_RES_CACHE:
+        return _AUTO_COVER_RES_CACHE[key]
     r = F.col("r")
     w = _ring_wraps_col(r["ring_lon"])
     ulo = _unwrap_lon_col(r["ring_lon"], w)
@@ -190,15 +204,17 @@ def _auto_cover_res(
         )
         .collect()[0]
     )
-    if spans["mean_ab"] is None:
-        return 0
-    for res in range(7, 0, -1):
-        step = cells.hexlite_step(res)
-        mean_cover = spans["mean_ab"] / step**2 + spans["mean_sum"] / step + 1.0
-        max_cover = spans["max_ab"] / step**2 + spans["max_sum"] / step + 1.0
-        if mean_cover <= max_mean_cells and max_cover <= max_ring_cells:
-            return res
-    return 0
+    chosen = 0
+    if spans["mean_ab"] is not None:
+        for res in range(7, 0, -1):
+            step = cells.hexlite_step(res)
+            mean_cover = spans["mean_ab"] / step**2 + spans["mean_sum"] / step + 1.0
+            max_cover = spans["max_ab"] / step**2 + spans["max_sum"] / step + 1.0
+            if mean_cover <= max_mean_cells and max_cover <= max_ring_cells:
+                chosen = res
+                break
+    _AUTO_COVER_RES_CACHE[key] = chosen
+    return chosen
 
 
 def broadcast_pip_join(points: DataFrame, boundaries: DataFrame, index_res: int | None = None) -> DataFrame:
@@ -408,8 +424,9 @@ def polygon_cover(
     the cell-prefiltered native PIP (whose dim embeds this cover) keep the
     flagship's no-Python-anywhere property. Bit-parity with the NumPy
     hexlite_cover_bbox kernel is pinned in tests, dateline rings included
-    (an unwrapped bbox's lon indexes exceed n_lon and pmod back onto both
-    sides of ±180, exactly like the kernel's modular indexing)."""
+    (the unwrapped bbox portion at/above +180 is enumerated through the
+    probe formula — see hexlite_cover_bbox — so raw-negative probes land
+    in exactly the emitted cells at every resolution)."""
     step = cells.hexlite_step(res)
     n_lat, n_lon = cells.hexlite_dims(res)
     hdr = (cells.HEXLITE_MODE << 60) | (res << 56)
@@ -421,22 +438,38 @@ def polygon_cover(
         lo_min, lo_max = F.array_min(ulo), F.array_max(ulo)
         i0 = F.greatest(F.lit(0).cast("long"), F.floor((la_min + F.lit(90.0)) / F.lit(step)))
         i1 = F.least(F.lit(n_lat - 1).cast("long"), F.floor((la_max + F.lit(90.0)) / F.lit(step)))
-        j0 = F.floor((lo_min + F.lit(180.0)) / F.lit(step))
-        j1_raw = F.floor((lo_max + F.lit(180.0)) / F.lit(step))
-        # +180-seam (mirrors hexlite_cover_bbox bit-for-bit): an unwrapped
-        # bbox ending in the grid's over-wide last cell must also emit the
-        # j=0 cell — extend one index and let pmod wrap it
-        j1 = F.when(
-            (lo_max >= F.lit(180.0)) & (j1_raw == F.lit(n_lon - 1).cast("long")),
-            j1_raw + 1,
-        ).otherwise(j1_raw)
+        # two-branch probe-formula column enumeration (mirrors
+        # hexlite_cover_bbox bit-for-bit; see its docstring for why
+        # index-modular wrapping mislocates raw-negative columns at odd
+        # resolutions). Branch A: the bbox portion below +180, probes keep
+        # their raw longitude. Branch B: the unwrapped portion at/above
+        # +180, whose probes arrive at x - 360. sequence() bounds are
+        # ordered within each branch's guard (sequence counts DOWN when
+        # lo > hi — the F.sequence(1, 0) trap), and no pmod is needed:
+        # both branches emit in-range indexes directly.
+        e180 = F.lit(float(np.nextafter(180.0, 0.0)))
+        ja0 = F.greatest(F.lit(0).cast("long"), F.floor((lo_min + F.lit(180.0)) / F.lit(step)))
+        ja1 = F.least(
+            F.lit(n_lon - 1).cast("long"),
+            F.floor((F.least(lo_max, e180) + F.lit(180.0)) / F.lit(step)),
+        )
+        jb0 = F.greatest(
+            F.lit(0).cast("long"),
+            F.floor((F.greatest(lo_min, F.lit(180.0)) - F.lit(180.0)) / F.lit(step)),
+        )
+        jb1 = F.least(
+            F.lit(n_lon - 1).cast("long"), F.floor((lo_max - F.lit(180.0)) / F.lit(step))
+        )
+        empty = F.array().cast("array<long>")
+        cols = F.concat(
+            F.when(lo_min < F.lit(180.0), F.sequence(ja0, ja1)).otherwise(empty),
+            F.when(lo_max >= F.lit(180.0), F.sequence(jb0, jb1)).otherwise(empty),
+        )
         return F.flatten(F.transform(
             F.sequence(i0, i1),
             lambda i: F.transform(
-                F.sequence(j0, j1),
-                lambda j: F.lit(hdr).bitwiseOR(F.shiftleft(i, 28)).bitwiseOR(
-                    F.pmod(j, F.lit(n_lon))
-                ),
+                cols,
+                lambda j: F.lit(hdr).bitwiseOR(F.shiftleft(i, 28)).bitwiseOR(j),
             ),
         ))
 
@@ -461,6 +494,7 @@ def shuffle_pip_join(
     n_salt: int = 8,
     hotness_sample_fraction: float = 0.01,
     clip_cover: bool = True,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Shuffle strategy with explicit hot-cell salting.
 
@@ -476,26 +510,48 @@ def shuffle_pip_join(
     test_pipeline_ops.
 
     GROUP-ONCE GEOMETRY TRANSPORT (round-5 verdict #1): the refine stage
-    is a COGROUPED applyInPandas keyed by (cell, salt) — the points of a
-    group and the geometry of the polygons covering that cell arrive as
-    two separate frames, so each polygon's rings cross the shuffle and the
-    Arrow channel ONCE PER COVERED CELL, never once per candidate pair.
-    The previous formulation joined rings onto the candidate output, which
+    is a COGROUPED applyInPandas — the points of a group and the geometry
+    of the polygons covering that group's cells arrive as two separate
+    frames, so each polygon's rings cross the shuffle and the Arrow
+    channel ONCE PER COVERED CELL, never once per candidate pair. The
+    previous formulation joined rings onto the candidate output, which
     shipped a full copy of the boundary's multipolygon on EVERY
     point x boundary row: a 10^4-vertex coastline in a 50k-point hot cell
     serialized ~5x10^8 float pairs through one worker's Arrow channel.
     Now that same cell ships 50k narrow point rows + one 10^4-vertex
     geometry. The output needs NO dedup: a point belongs to exactly one
-    (cell, salt) group and polygon_cover emits array_distinct cells, so
+    (cell, salt) pair and the cover emits each (boundary, cell) once, so
     (image_id, boundary_id) pairs are unique by construction (same proof
     as within_distance_join; plan pinned in test_plan_audit).
 
+    BOUNDED GROUP COUNT (round 6): the cogroup key is (bucket, salt)
+    with bucket = pmod(xxhash64(cell), n_buckets), NOT the raw cell.
+    Spark's cogrouped applyInPandas pays ~2-3 ms of framework overhead
+    per GROUP (per-group Arrow batch + pandas materialization, measured
+    round 6), so keying by cell makes group count — and therefore a hard
+    floor on the stage's CPU — scale with the COVER (O(cells), i.e. with
+    resolution), reaching minutes at res >= 3 on a continent-bbox dim.
+    Bucketing caps groups at ~n_buckets x n_salt independent of
+    resolution; inside a group the per-cell candidate semantics are
+    recovered with a sorted searchsorted merge (vectorized, zero Python
+    per row). Both cogroup inputs are explicitly
+    repartition(N, bucket, salt)-ed: the exchanges satisfy the cogroup's
+    required clustering (no extra shuffle — plan-pinned) and the
+    user-specified N is exempt from AQE partition coalescing, which
+    otherwise folds this deliberately-light shuffle into ONE task and
+    serializes every group behind a single Python worker (the round-3
+    AQE-coalesce trap, re-measured here: 16k groups = 38 s serial).
+    n_buckets defaults to 16x the session's shuffle partitions — groups
+    stay ~10-100x finer than tasks for even scheduling while the
+    per-group overhead stays amortized; scale it with the cluster the
+    same way shuffle partitions scale.
+
     Memory: applyInPandas materializes each cogroup whole (it does not
-    stream Arrow batches), so hot_cell_threshold is also the group-size
-    bound — a cell above it splits into n_salt groups. Points in cells no
-    polygon covers still ride the shuffle as narrow rows and return empty
-    from the refine; the broadcast strategy pays the same per-point Arrow
-    cost, so this is the strategy's baseline, not a regression.
+    stream Arrow batches). A group holds ~covered_points/n_buckets rows
+    plus any one hot cell's 1/n_salt share, so hot_cell_threshold still
+    bounds the skew term — a cell above it splits into n_salt groups.
+    Points in cells no polygon covers are dropped by the covered-cells
+    semi-filter before the shuffle.
 
     CLIP-TO-CELL COVER (clip_cover=True, the default): once-per-cell
     transport still duplicates the FULL geometry per covered cell —
@@ -556,11 +612,17 @@ def shuffle_pip_join(
             .withColumn("geom", pack_rings_col(F.col("rings")))
             .drop("rings")
         )
+    if n_buckets is None:
+        n_buckets = 16 * int(spark.conf.get("spark.sql.shuffle.partitions"))
+    bucket = F.pmod(F.xxhash64(F.col("cell")), F.lit(n_buckets)).cast("int")
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
     # replicate polygon cover rows for hot cells: salt 0..n_salt-1
     cover_salted = (
         cover.join(F.broadcast(hot), "cell", "left")
         .withColumn("salt", F.explode(F.sequence(F.lit(0), F.coalesce(F.col("n_salt"), F.lit(1)) - 1)))
         .drop("n_salt")
+        .withColumn("bucket", bucket)
     )
     # COVERED-CELLS semi-filter: points in cells no polygon's bbox covers
     # can never match — drop them BEFORE the shuffle and the cogroup, so
@@ -581,6 +643,7 @@ def shuffle_pip_join(
             ),
         )
         .drop("n_salt")
+        .withColumn("bucket", bucket)
     )
 
     # geometry rides the POLYGON side of the cogroup: one row per
@@ -595,35 +658,48 @@ def shuffle_pip_join(
                  "lon": pd.Series(dtype=np.float64),
                  "boundary_id": pd.Series(dtype=np.int64)}
             )
-        lat = pts_b["lat"].to_numpy()
-        lon = pts_b["lon"].to_numpy()
+        # per-cell merge inside the bucket: sort the group's points by
+        # cell once, then each cover row selects ITS cell's contiguous
+        # point range with two searchsorted probes — the candidate set is
+        # identical to a per-cell cogroup, with O(n log n) setup instead
+        # of per-cell group overhead
+        cell_arr = pts_b["cell"].to_numpy()
+        order = np.argsort(cell_arr, kind="stable")
+        cs = cell_arr[order]
+        lat = pts_b["lat"].to_numpy()[order]
+        lon = pts_b["lon"].to_numpy()[order]
+        ids = pts_b["image_id"].to_numpy()[order]
         out = []
         lon360 = np.where(lon < 0.0, lon + 360.0, lon)
-        # each covering polygon tests the group's points vectorized; the
-        # group IS the candidate set (all its points lie in the cell).
-        # Packed coords are already in each ring's test frame, so parity
-        # uses the EXPLICIT-frame kernel (the heuristic would misread
-        # clipped fragments). crossing_parity materializes points x edges
-        # — chunk the point axis so a hot (threshold-sized) group against
-        # a 10^4-vertex ring stays ~8M cells per slab, not N*M gigabytes
-        for bid, packed in zip(polys_b["boundary_id"].to_numpy(), polys_b["geom"]):
+        # each cover row tests its cell's points vectorized. Packed coords
+        # are already in each ring's test frame, so parity uses the
+        # EXPLICIT-frame kernel (the heuristic would misread clipped
+        # fragments). crossing_parity materializes points x edges — chunk
+        # the point axis so a hot (threshold-sized) cell against a
+        # 10^4-vertex ring stays ~8M cells per slab, not N*M gigabytes
+        for bid, pcell, packed in zip(
+            polys_b["boundary_id"].to_numpy(), polys_b["cell"].to_numpy(), polys_b["geom"]
+        ):
+            lo_i = int(np.searchsorted(cs, pcell, "left"))
+            hi_i = int(np.searchsorted(cs, pcell, "right"))
+            if lo_i == hi_i:
+                continue
             rings = unpack_rings(packed)
             n_edges = sum(len(r[0]) for r in rings)
             chunk = max(1024, 8_000_000 // max(1, n_edges))
             hits = []
-            for s in range(0, lat.size, chunk):
-                inside = np.zeros(min(chunk, lat.size - s), dtype=bool)
+            for s in range(lo_i, hi_i, chunk):
+                e = min(s + chunk, hi_i)
+                inside = np.zeros(e - s, dtype=bool)
                 for ys, xs, unwrap in rings:
                     inside ^= pip.crossing_parity(
-                        lat[s:s + chunk],
-                        (lon360 if unwrap else lon)[s:s + chunk],
-                        ys, xs,
+                        lat[s:e], (lon360 if unwrap else lon)[s:e], ys, xs,
                     )
                 hits.append(np.nonzero(inside)[0] + s)
             idx = np.concatenate(hits) if hits else np.empty(0, dtype=np.int64)
             if idx.size:
                 out.append(pd.DataFrame(
-                    {"image_id": pts_b["image_id"].to_numpy()[idx],
+                    {"image_id": ids[idx],
                      "lat": lat[idx], "lon": lon[idx],
                      "boundary_id": np.full(idx.size, bid, dtype=np.int64)}
                 ))
@@ -632,8 +708,9 @@ def shuffle_pip_join(
         return pd.concat(out, ignore_index=True)
 
     return (
-        pts_salted.groupBy("cell", "salt")
-        .cogroup(polys_salted.groupBy("cell", "salt"))
+        pts_salted.repartition(n_part, "bucket", "salt")
+        .groupBy("bucket", "salt")
+        .cogroup(polys_salted.repartition(n_part, "bucket", "salt").groupBy("bucket", "salt"))
         .applyInPandas(
             refine, schema="image_id string, lat double, lon double, boundary_id long"
         )
