@@ -458,6 +458,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("event_id", "boundary_id")
     q["q_pip_coastline"] = q_pip_coastline
 
+    # ---- the SAME high-vertex coastline through the CLIPPED prefiltered
+    # native path (round 6): clip_dim bounds the broadcast dim at
+    # O(vertices + cells) — at res 2 the unclipped dim replicates ~12k
+    # edges into every covering cell (a >1 GB broadcast at res 3 — the
+    # documented reason the native path was capped at res 0 on
+    # vertex-heavy sets), clipped it stays megabytes and each point's
+    # fold visits only its cell's local edges. Same oracle as
+    # q_pip_coastline: the gate pins that the clipped fold's parity is
+    # exact on outer+hole, dateline, and multi-component rings.
+    def q_pip_coastline_native(spark, sf):
+        from wikibrain_spark.sources import synthetic
+
+        coast = synthetic.generate_coastlines()
+        os.makedirs(COAST_STAGE_DIR, exist_ok=True)
+        synthetic.coastline_edges(coast).to_parquet(
+            os.path.join(COAST_STAGE_DIR, "edges.parquet"), index=False
+        )
+        bnd = spark.createDataFrame(
+            [
+                (
+                    int(r["boundary_id"]),
+                    [(rr["ring_lat"], rr["ring_lon"], rr["is_hole"]) for rr in r["rings"]],
+                )
+                for _, r in coast.iterrows()
+            ],
+            f"boundary_id long, rings {spatial_join.RINGS_TYPE}",
+        )
+        pts = _event_points(spark, sf).withColumnRenamed("event_id", "image_id")
+        pairs = spatial_join.broadcast_pip_join_native(
+            pts.select(F.col("image_id").cast("string"), "lat", "lon"),
+            bnd,
+            cell_prefilter_res=2,
+            clip_dim=True,
+        )
+        return pairs.select(
+            F.col("image_id").cast("long").alias("event_id"), "boundary_id"
+        ).orderBy("event_id", "boundary_id")
+    q["q_pip_coastline_native"] = q_pip_coastline_native
+
     # ---- kNN (J14 distance-rank)
     def q_knn(spark, sf):
         qs = _event_points(spark, sf).where(F.col("event_id") < 20).withColumnRenamed("event_id", "query_id")
@@ -1109,6 +1148,21 @@ def oracle_sql() -> dict[str, str]:
                md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
         FROM m ORDER BY doc_id
     """
+    coastline_pip_sql = f"""
+        WITH pts AS ({events_pts}),
+             edges AS (SELECT * FROM read_parquet('{COAST_STAGE_DIR}/*.parquet')),
+             hits AS (
+               SELECT p.event_id, e.boundary_id, COUNT(*) AS n_cross
+               FROM pts p JOIN edges e
+                 ON ((e.y0 > p.lat) <> (e.y1 > p.lat))
+                AND (CASE WHEN e.wrapped AND p.lon < 0 THEN p.lon + 360.0 ELSE p.lon END)
+                    < (e.x1 - e.x0) * (p.lat - e.y0) / nullif(e.y1 - e.y0, 0.0) + e.x0
+               GROUP BY 1, 2
+             )
+        SELECT event_id, boundary_id FROM hits
+        WHERE n_cross % 2 = 1
+        ORDER BY event_id, boundary_id
+    """
     jaccard_sql = """
         WITH d AS (
           SELECT doc_id, lang, CAST(floor(length(text) / 200) AS BIGINT) AS lbucket,
@@ -1297,21 +1351,10 @@ def oracle_sql() -> dict[str, str]:
         # total crossing count; frame choice rides the staged `wrapped`
         # flag). nullif guards horizontal edges — they never satisfy the
         # y-straddle condition, and NULL comparisons drop from the join.
-        "q_pip_coastline": f"""
-            WITH pts AS ({events_pts}),
-                 edges AS (SELECT * FROM read_parquet('{COAST_STAGE_DIR}/*.parquet')),
-                 hits AS (
-                   SELECT p.event_id, e.boundary_id, COUNT(*) AS n_cross
-                   FROM pts p JOIN edges e
-                     ON ((e.y0 > p.lat) <> (e.y1 > p.lat))
-                    AND (CASE WHEN e.wrapped AND p.lon < 0 THEN p.lon + 360.0 ELSE p.lon END)
-                        < (e.x1 - e.x0) * (p.lat - e.y0) / nullif(e.y1 - e.y0, 0.0) + e.x0
-                   GROUP BY 1, 2
-                 )
-            SELECT event_id, boundary_id FROM hits
-            WHERE n_cross % 2 = 1
-            ORDER BY event_id, boundary_id
-        """,
+        "q_pip_coastline": coastline_pip_sql,
+        # same geometry, same oracle — the Spark side runs the CLIPPED
+        # prefiltered native fold instead of the cogrouped shuffle
+        "q_pip_coastline_native": coastline_pip_sql,
         "q_knn": knn_sql,
         "q_knn_kring": knn_kring_sql,
         "q_within_distance": f"""

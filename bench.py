@@ -101,6 +101,7 @@ def main() -> None:
         "q_pricing_summary", "q_top_customer_revenue", "q_order_priority_window",
         "q_cells_r7", "q_tile_stats", "q_pip_rectangles", "q_pip_shuffle_salted",
         "q_pip_polar", "q_pip_polar_prefiltered", "q_pip_coastline",
+        "q_pip_coastline_native",
         "q_knn", "q_knn_kring", "q_within_distance", "q_within_distance_shuffle",
         "q_closure", "q_closure_doubling", "q_closure_materialized", "q_doc_stats",
         "q_dedup_exact", "q_ann_topk", "q_malformed_check", "q_apply_changes",

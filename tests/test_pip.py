@@ -232,6 +232,10 @@ def test_pole_ring_native_parity(spark):
     for fn in (
         lambda: spatial_join.broadcast_pip_join_native(pdf, bdf),
         lambda: spatial_join.broadcast_pip_join_native(pdf, bdf, cell_prefilter_res=2),
+        # clipped dim (round 6): the pole ring stays in the RAW frame and
+        # its closure edges at ±180 must clip per cell without tearing
+        lambda: spatial_join.broadcast_pip_join_native(
+            pdf, bdf, cell_prefilter_res=2, clip_dim=True),
         lambda: spatial_join.broadcast_pip_join(pdf, bdf),
     ):
         got = {r["image_id"] for r in fn().collect()}

@@ -161,6 +161,11 @@ def test_all_strategies_match_numpy_oracle_on_complex_fixture(spark):
         "native": lambda: spatial_join.broadcast_pip_join_native(pdf, bdf),
         "native_prefilter": lambda: spatial_join.broadcast_pip_join_native(
             pdf, bdf, cell_prefilter_res=3),
+        # clipped dim: per-cell LOCAL geometry through the same native
+        # fold (round 6) — donut/enclave/dateline parity must survive
+        # Sutherland-Hodgman fragmentation
+        "native_prefilter_clipped": lambda: spatial_join.broadcast_pip_join_native(
+            pdf, bdf, cell_prefilter_res=3, clip_dim=True),
         "shuffle_salted": lambda: spatial_join.shuffle_pip_join(
             pdf, bdf, hot_cell_threshold=100, n_salt=4, hotness_sample_fraction=1.0),
         # n_buckets=3 packs MANY distinct cells into every cogroup group,
@@ -233,6 +238,11 @@ def test_all_strategies_match_numpy_oracle_on_coastline_fixture(spark):
         # stays CORRECT when sized per its own rule.
         "native_prefilter": lambda: spatial_join.broadcast_pip_join_native(
             pdf, bdf, cell_prefilter_res=0),
+        # the round-6 fix for exactly that limitation: clip_dim carries
+        # only each cell's LOCAL edge subset, so the vertex-heavy set
+        # runs at res 2 with a megabyte-scale dim instead of res 0
+        "native_prefilter_clipped": lambda: spatial_join.broadcast_pip_join_native(
+            pdf, bdf, cell_prefilter_res=2, clip_dim=True),
         "shuffle_salted": lambda: spatial_join.shuffle_pip_join(
             pdf, bdf, hot_cell_threshold=200, n_salt=4, hotness_sample_fraction=1.0),
         # clip_cover=False ships full geometry once per covered cell —

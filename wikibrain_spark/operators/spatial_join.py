@@ -275,6 +275,7 @@ def broadcast_pip_join_native(
     boundaries: DataFrame,
     cell_prefilter_res: int | None = None,
     extra_cols: tuple[str, ...] = (),
+    clip_dim: bool = False,
 ) -> DataFrame:
     """Fully-JVM, fully-NARROW even-odd PIP: the (broadcast-sized) polygon
     set is aggregated into ONE row — an array<struct<bid, bbox, edges>>
@@ -297,8 +298,16 @@ def broadcast_pip_join_native(
     work drops from O(all polygons) to O(cell candidates)). Size it to
     VERTEX weight too: the dim replicates each polygon's full geometry
     once per covering cell, so its broadcast is O(cells x vertices) —
-    a 10^4-vertex continental ring wants res 0-1 (or the clipped shuffle
-    strategy, whose per-cell payload is the local edge subset).
+    a 10^4-vertex continental ring wants res 0-1, or clip_dim=True.
+
+    clip_dim (with cell_prefilter_res): build the dim with clipped_cell_dim
+    — each cell carries only the geometry clipped to its window, making
+    the broadcast O(vertices + cells) and the per-point fold O(local
+    edges), so fine prefilter resolutions work at ANY vertex weight. The
+    dim build gains a once-per-snapshot Python prepass (the points side
+    stays zero-Python, zero-shuffle); keep the default when the polygon
+    set is low-vertex and the fully-native dim build matters more than
+    fold locality.
 
     extra_cols: additional point-side columns carried through to the output
     (e.g. event_time on the Structured Streaming path — both plan shapes
@@ -337,7 +346,8 @@ def broadcast_pip_join_native(
         poly_dim = poly_structs.agg(F.collect_list("p").alias("polys"))  # single row
         pts = points.crossJoin(F.broadcast(poly_dim))
     else:
-        cell_dim = candidate_cell_dim(boundaries, cell_prefilter_res)
+        dim_builder = clipped_cell_dim if clip_dim else candidate_cell_dim
+        cell_dim = dim_builder(boundaries, cell_prefilter_res)
         pts = points.withColumn(
             "cell", cells.hexlite_cell_col(F.col("lat"), F.col("lon"), cell_prefilter_res)
         ).join(F.broadcast(cell_dim), "cell", "left")
@@ -405,6 +415,87 @@ def candidate_cell_dim(boundaries: DataFrame, res: int) -> DataFrame:
     return (
         polygon_cover(boundaries, res)
         .join(polygon_structs(boundaries), "boundary_id")
+        .groupBy("cell")
+        .agg(F.collect_list("p").alias("polys"))
+    )
+
+
+def clipped_cell_dim(boundaries: DataFrame, res: int) -> DataFrame:
+    """candidate_cell_dim with BOUNDED per-cell geometry: each (cell,
+    polygon) entry carries only the polygon CLIPPED to that cell's window
+    (geo/clip.py), re-expressed as the struct<bid, boxes, edges> shape the
+    native fold consumes. The unclipped dim replicates each polygon's full
+    geometry once per covering cell — O(cells x vertices) broadcast, which
+    is why high-vertex sets forced the prefilter down to res 0 (a res-3
+    dim over the coastline fixture built a >1 GB broadcast); clipped, the
+    total is O(vertices + cells) (every original edge lands in the few
+    cells it crosses, interior cells degenerate to the 4-edge window), so
+    fine resolutions stay broadcast-sized at ANY vertex weight and each
+    point's fold visits only LOCAL edges.
+
+    The build is a mapInPandas over the polygon DIM — once per snapshot,
+    embarrassingly parallel per polygon, the same prepass position as the
+    shuffle strategy's clip cover. The POINTS side stays zero-Python and
+    zero-shuffle (unchanged broadcast hash equi-join + native fold).
+
+    boxes: one bbox per probe FRAME over the entry's pieces (raw and
+    unwrapped pieces can coexist in one cell for a Fiji-style
+    multipolygon; a single bbox cannot span both frames). A point in
+    region ∩ cell lies in some piece's region, hence inside its frame's
+    bbox — the exists() gate stays a correct prefilter. Parity over the
+    clipped pieces equals full-ring parity for probes inside the cell
+    (geo/clip.py's preservation argument)."""
+    from wikibrain_spark.geo import clip as _clip
+
+    def dim_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            cells_out: list[int] = []
+            ps_out: list[dict] = []
+            for bid, rings in zip(b["boundary_id"], b["rings"]):
+                pieces = _clip.clipped_cell_cover(
+                    [(r["ring_lat"], r["ring_lon"]) for r in rings], res
+                )
+                for cell_id, plist in pieces.items():
+                    edges = []
+                    frame_box: dict[bool, list[float]] = {}
+                    for ys, xs, w in plist:
+                        n = len(ys)
+                        for i in range(n):
+                            k = (i + 1) % n
+                            edges.append({
+                                "y0": float(ys[i]), "x0": float(xs[i]),
+                                "y1": float(ys[k]), "x1": float(xs[k]),
+                                "w": bool(w),
+                            })
+                        fb = frame_box.get(bool(w))
+                        lo_y, hi_y = float(np.min(ys)), float(np.max(ys))
+                        lo_x, hi_x = float(np.min(xs)), float(np.max(xs))
+                        if fb is None:
+                            frame_box[bool(w)] = [lo_y, hi_y, lo_x, hi_x]
+                        else:
+                            fb[0] = min(fb[0], lo_y); fb[1] = max(fb[1], hi_y)
+                            fb[2] = min(fb[2], lo_x); fb[3] = max(fb[3], hi_x)
+                    boxes = [
+                        {"lat_min": fb[0], "lat_max": fb[1],
+                         "lon_min": fb[2], "lon_max": fb[3], "w": w}
+                        for w, fb in frame_box.items()
+                    ]
+                    cells_out.append(int(cell_id))
+                    ps_out.append({"bid": int(bid), "boxes": boxes, "edges": edges})
+            yield pd.DataFrame({"cell": pd.Series(cells_out, dtype=np.int64),
+                                "p": ps_out})
+
+    schema = (
+        "cell long, p struct<bid: long, "
+        "boxes: array<struct<lat_min: double, lat_max: double, "
+        "lon_min: double, lon_max: double, w: boolean>>, "
+        "edges: array<struct<y0: double, x0: double, y1: double, x1: double, "
+        "w: boolean>>>"
+    )
+    return (
+        normalize_rings(boundaries)
+        .select("boundary_id", "rings")
+        .mapInPandas(dim_fn, schema=schema)
         .groupBy("cell")
         .agg(F.collect_list("p").alias("polys"))
     )
