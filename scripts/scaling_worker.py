@@ -275,7 +275,7 @@ def main() -> None:
     )
 
     # HIGH-VERTEX clipped shuffle PIP (round-5 verdict #1+#2): 20M points
-    # against 32 coastline polygons of 1500 vertices each (~48k edges)
+    # against 32 coastline polygons of 4000 vertices each (128k edges)
     # through the cogrouped clip-to-cell shuffle strategy. The clip
     # prepass distributes per polygon (32 tasks >= cores at both levels),
     # the cogroup ships each cell only its LOCAL edge subset, and the
@@ -286,23 +286,93 @@ def main() -> None:
 
     rngc = np.random.default_rng(77)
     coast_rows = []
+    c_lats: list[float] = []
+    c_lons: list[float] = []
     for i in range(32):
-        cl_la, cl_lo = _coast_ring(
-            float(rngc.uniform(-60, 60)), float(rngc.uniform(-160, 160)),
-            6.0, 1500, rngc,
-        )
+        c_la = float(rngc.uniform(-60, 60))
+        c_lo = float(rngc.uniform(-160, 160))
+        c_lats.append(c_la)
+        c_lons.append(c_lo)
+        cl_la, cl_lo = _coast_ring(c_la, c_lo, 6.0, 4000, rngc)
         coast_rows.append((100 + i, [(cl_la.tolist(), cl_lo.tolist(), False)]))
     coast_df = spark.createDataFrame(
         coast_rows, f"boundary_id long, rings {_sj.RINGS_TYPE}"
     )
+
+    def _pts_near(n_pts: int):
+        # points concentrated in +/-8 deg boxes around the coastline
+        # centers: the row must measure cogroup transport + refine parity.
+        # With globally-uniform points the covered-cells semi-filter drops
+        # >90% before the shuffle and the whole join finishes in ~4 s of
+        # prepass jobs at EITHER core count — a fixed-cost-bound row reads
+        # as a scaling failure regardless of the operator (round-4 lesson:
+        # size rows so compute dominates; re-learned here round 6).
+        la_arr = F.array(*[F.lit(v) for v in c_lats])
+        lo_arr = F.array(*[F.lit(v) for v in c_lons])
+        k = (F.pmod(F.col("id"), F.lit(32)) + 1).cast("int")
+        df = spark.range(n_pts).repartition(cpus * 4).select(
+            F.concat(F.lit("c"), "id").alias("image_id"),
+            (F.element_at(la_arr, k) + F.pmod(F.col("id") * 37, 16000) / 1000.0 - 8.0).alias("lat"),
+            (F.element_at(lo_arr, k) + F.pmod(F.col("id") * 91, 16000) / 1000.0 - 8.0).alias("lon"),
+        ).cache()
+        df.count()
+        return df
+
     res["coast_polys"] = 32
-    res["coast_edges"] = 32 * 1500
+    res["coast_edges"] = 32 * 4000
+    pts_coast = _pts_near(n_pref)
     res["coast_clip_points"] = n_pref
     res["coast_clip_sec"] = timed(
-        lambda: _sj.shuffle_pip_join(pts_pref, coast_df)
+        lambda: _sj.shuffle_pip_join(pts_coast, coast_df)
     )
     res["coast_clip_rows_per_sec"] = round(n_pref / res["coast_clip_sec"], 1)
-    pts_coast_small = _pts(2_000_000)
+
+    # cogroup-transport probe: the SAME covered-points semi-filter,
+    # bucket shuffle, and per-group Arrow materialization with the parity
+    # kernel replaced by a per-group count — isolates the channel-bound
+    # transport term exactly the way the wd_shuffle and Arrow-channel
+    # probes do, so the kernel row reads net of the single-JVM ceiling.
+    coast_res = _sj._auto_cover_res(coast_df)
+    n_buckets = 16 * cpus * 2
+    bucket = F.pmod(F.xxhash64(F.col("cell")), F.lit(n_buckets)).cast("int")
+    coast_cov = _sj.polygon_cover(coast_df, coast_res)
+    pts_bkt = (
+        pts_coast.select(
+            "image_id", "lat", "lon",
+            _cells.hexlite_cell_col(F.col("lat"), F.col("lon"), coast_res).alias("cell"),
+        )
+        .join(F.broadcast(coast_cov.select("cell")), "cell", "left_semi")
+        .withColumn("bucket", bucket)
+    )
+    cov_bkt = coast_cov.withColumn("bucket", bucket)
+
+    def _count_refine(a: _pd.DataFrame, b: _pd.DataFrame) -> _pd.DataFrame:
+        return _pd.DataFrame({"n": [len(a) + len(b)]})
+
+    res["coast_transport_probe_sec"] = timed(
+        lambda: pts_bkt.repartition(cpus * 2, "bucket")
+        .groupBy("bucket")
+        .cogroup(cov_bkt.repartition(cpus * 2, "bucket").groupBy("bucket"))
+        .applyInPandas(_count_refine, schema="n long")
+    )
+    res["coast_kernel_sec"] = round(
+        max(res["coast_clip_sec"] - res["coast_transport_probe_sec"], 0.001), 3
+    )
+
+    # the same 20M points through the CLIPPED-DIM native broadcast fold
+    # (round 6): O(vertices + cells) broadcast, per-point fold over LOCAL
+    # edges, zero Python on the points side — the broadcast-path answer
+    # to high-vertex boundary sets.
+    res["coast_native_clip_sec"] = timed(
+        lambda: _sj.broadcast_pip_join_native(
+            pts_coast, coast_df, cell_prefilter_res=3, clip_dim=True
+        )
+    )
+    res["coast_native_clip_rows_per_sec"] = round(
+        n_pref / res["coast_native_clip_sec"], 1
+    )
+
+    pts_coast_small = _pts_near(2_000_000)
     res["coast_payload_points"] = 2_000_000
     res["coast_payload_clip_sec"] = timed(
         lambda: _sj.shuffle_pip_join(pts_coast_small, coast_df)
