@@ -342,6 +342,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q_tile_stats"] = q_tile_stats
 
+    # ---- multi-resolution pyramid rollup from CELL IDS ALONE (round 6):
+    # the flagship output carries cell_r9, not raw coordinates, so
+    # dashboard pyramids must roll up through the parent function
+    # (center-based approximate containment, like real H3 — the sqrt7
+    # ladder is not nested). Zero Python, pure bit/float arithmetic in
+    # whole-stage codegen; oracle mirrors the decode->center->re-encode
+    # formula in SQL.
+    def q_tile_pyramid(spark, sf):
+        e = _event_points(spark, sf).select(
+            cells.hexlite_cell_col(F.col("lat"), F.col("lon"), 7).alias("cell_r7")
+        )
+        return (
+            e.withColumn("parent", cells.hexlite_parent_col(F.col("cell_r7"), 3, 7))
+            .groupBy("parent")
+            .agg(
+                F.count("*").alias("n_points"),
+                F.countDistinct("cell_r7").alias("n_child_cells"),
+            )
+            .orderBy("parent")
+        )
+    q["q_tile_pyramid"] = q_tile_pyramid
+
     # ---- point-in-polygon spatial join via the REAL mapInPandas kernel (U4)
     def q_pip_rectangles(spark, sf):
         pts = _event_points(spark, sf).withColumnRenamed("event_id", "image_id")
@@ -1314,6 +1336,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(AVG(lat) * 1000) AS BIGINT) AS centroid_lat_e3,
                    CAST(floor(AVG(lon) * 1000) AS BIGINT) AS centroid_lon_e3
             FROM pts GROUP BY 1 ORDER BY cell
+        """,
+        "q_tile_pyramid": f"""
+            WITH pts AS ({events_pts}),
+                 c AS (SELECT {cell7} AS cell_r7 FROM pts)
+            SELECT {cells.hexlite_parent_sql("cell_r7", 3, 7)} AS parent,
+                   COUNT(*) AS n_points,
+                   COUNT(DISTINCT cell_r7) AS n_child_cells
+            FROM c GROUP BY 1 ORDER BY parent
         """,
         "q_pip_rectangles": pip_sql,
         "q_pip_shuffle_salted": pip_sql,  # same contract as the broadcast path

@@ -149,3 +149,25 @@ def test_s2_deterministic_and_hierarchical():
     b = cells.s2_cell_id(np.array([40.0001]), np.array([-74.0001]), 8)[0]
     c = cells.s2_cell_id(np.array([-40.0]), np.array([106.0]), 8)[0]
     assert a == b and a != c
+
+
+def test_hexlite_parent_rollup():
+    """hexlite_parent (round 6): pyramid rollup from cell ids alone.
+    Parenthood is center-based approximate containment (the sqrt7 ladder
+    is not nested, like real H3): the parent of a point's child cell must
+    equal the point's direct parent-res encoding for the vast majority of
+    points, never deviate by more than one index per axis (a child
+    straddling a parent boundary), and always carry the parent res bits."""
+    child = cells.hexlite_cell(LATS, LONS, 7)
+    par = cells.hexlite_parent(child, 3)
+    direct = cells.hexlite_cell(LATS, LONS, 3)
+    assert ((par >> 56) & 0xF == 3).all()
+    assert (par == direct).mean() > 0.85
+    mask = (1 << 28) - 1
+    _, n_lon = cells.hexlite_dims(3)
+    di = np.abs(((par >> 28) & mask) - ((direct >> 28) & mask))
+    dj = np.abs((par & mask) - (direct & mask))
+    dj = np.minimum(dj, n_lon - dj)  # seam-adjacent indexes
+    assert di.max() <= 1 and dj.max() <= 1
+    # deterministic and res-typed input-independent: idempotent re-encode
+    assert np.array_equal(par, cells.hexlite_parent(child, 3))

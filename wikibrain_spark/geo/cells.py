@@ -138,7 +138,36 @@ def hexlite_cover_bbox(lat_min, lat_max, lon_min, lon_max, res: int) -> np.ndarr
     return np.unique(ids)
 
 
+_IDX_MASK = (1 << 28) - 1
+
+
 # ----------------------------------------------------- Spark Column (codegen)
+
+def hexlite_parent_col(cell: Column, parent_res: int, child_res: int) -> Column:
+    """Native Column mirror of hexlite_parent: pyramid rollups (tile stats
+    at res 9 -> dashboards at res 3) must work from CELL IDS alone — the
+    flagship output carries cell_r9, not raw coordinates. Parenthood is
+    center-based approximate containment, like real H3 (the sqrt7 ladder
+    is not nested; a child straddling a parent boundary deviates <=1 index
+    from direct point encoding — pinned in tests). child_res is a plan
+    constant — at rest the engine stores one resolution per column, so the
+    decode step stays literal arithmetic inside whole-stage codegen."""
+    step_c = hexlite_step(child_res)
+    lat_c = (
+        F.shiftright(cell, 28).bitwiseAND(F.lit(_IDX_MASK)) * F.lit(step_c)
+        + F.lit(step_c / 2.0 - 90.0)
+    )
+    lon_c = cell.bitwiseAND(F.lit(_IDX_MASK)) * F.lit(step_c) + F.lit(step_c / 2.0 - 180.0)
+    return hexlite_cell_col(lat_c, lon_c, parent_res)
+
+
+def hexlite_parent_sql(cell_expr: str, parent_res: int, child_res: int) -> str:
+    """Equivalent ANSI SQL (DuckDB oracle). Must match the two above."""
+    step_c = hexlite_step(child_res)
+    lat_c = f"((({cell_expr} >> 28) & {_IDX_MASK}) * {step_c!r} + {step_c / 2.0 - 90.0!r})"
+    lon_c = f"(({cell_expr} & {_IDX_MASK}) * {step_c!r} + {step_c / 2.0 - 180.0!r})"
+    return hexlite_cell_sql(lat_c, lon_c, parent_res)
+
 
 def hexlite_cell_col(lat: Column, lon: Column, res: int) -> Column:
     """Native Column expression — stays inside whole-stage codegen."""
