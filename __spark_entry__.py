@@ -66,6 +66,9 @@ ANN_IVF_PROBE_DIR = os.path.join(
 # high-vertex coastline fixture (round-5 verdict #2): the Spark query
 # stages the ~12k-edge table (geometry spec, not computed results); the
 # DuckDB oracle does the crossing-parity math independently over it
+PHASH_STAGE_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "data", "stage", "phash_sigs"
+)
 COAST_STAGE_DIR = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "data", "stage", "coastline_edges"
 )
@@ -769,6 +772,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_a", "doc_b"
         )
     q["q_dedup_simhash"] = q_dedup_simhash
+
+    # ---- IMAGE near-dup by perceptual hash (round 6, pyspark x image):
+    # the 64-bit pHash rides the same pigeonhole-banding + popcount-verify
+    # algebra as text SimHash; the deterministic 2000-image corpus plants
+    # exact clones (hamming 0) and near-clones. Fixed-size corpus for the
+    # same reason as the jaccard _1k slice. Staged-signature oracle:
+    # DuckDB re-derives the full pair set from the staged (image_id,
+    # phash) table with xor + bit_count.
+    def q_image_neardup(spark, sf):
+        from wikibrain_spark.operators import geotag
+        from wikibrain_spark.sources import synthetic
+
+        paths = synthetic.materialize(DATA_DIR, n_images=2000)
+        images = spark.read.parquet(paths["images"])
+        images.select("image_id", "phash").write.mode("overwrite").parquet(PHASH_STAGE_DIR)
+        staged = spark.read.parquet(PHASH_STAGE_DIR)
+        return geotag.phash_near_pairs(staged, max_hamming=4).orderBy(
+            "image_a", "image_b"
+        )
+    q["q_image_neardup"] = q_image_neardup
 
     # ---- ANN brute-force cosine top-k
     def q_ann_topk(spark, sf):
@@ -1545,6 +1568,15 @@ def oracle_sql() -> dict[str, str]:
         # (written before the result is returned, so the oracle always sees
         # the signatures of the run being graded) and DuckDB enumerates the
         # identical pair set directly from the radius definition
+        "q_image_neardup": f"""
+            WITH s AS (SELECT image_id, phash
+                       FROM read_parquet('{PHASH_STAGE_DIR}/*.parquet'))
+            SELECT a.image_id AS image_a, b.image_id AS image_b,
+                   CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+            FROM s a JOIN s b ON a.image_id < b.image_id
+            WHERE bit_count(xor(a.phash, b.phash)) <= 4
+            ORDER BY image_a, image_b
+        """,
         "q_dedup_simhash": f"""
             WITH s AS (SELECT doc_id, simhash
                        FROM read_parquet('{SIMHASH_STAGE_DIR}/*.parquet'))

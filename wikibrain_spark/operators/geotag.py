@@ -134,3 +134,31 @@ def sample_frames(videos: DataFrame, every_n: int = 30) -> DataFrame:
     return videos.select("video_id", "bytes").mapInPandas(
         frame_batch, schema="video_id string, frame_no int, frame binary"
     )
+
+
+def phash_near_pairs(
+    images: DataFrame,
+    max_hamming: int = 4,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+) -> DataFrame:
+    """Perceptual-hash image near-duplicates: ALL image pairs whose 64-bit
+    pHash (codecs.phash64 — DCT low-frequency sign signature, recomputable
+    from pixels: decode_stats pins stored == recomputed) differs in at most
+    max_hamming bits. Returns (image_a, image_b, hamming).
+
+    The signature ALGEBRA is identical to text SimHash — only the
+    signature source differs (image DCT vs token hashes) — so this
+    delegates to dedup.simhash_pairs_from_signatures: pigeonhole banding
+    into max_hamming+1 bit chunks (a pair within the radius shares at
+    least one chunk), bucket equi-join, exact popcount verify. Never
+    all-pairs; candidate volume is governed by chunk width. This is the
+    image-dedup stage of a training-data pipeline (near-identical crops /
+    re-encodes share low-frequency structure and land within a few bits).
+    """
+    from wikibrain_spark.operators.dedup import simhash_pairs_from_signatures
+
+    sigs = images.select(F.col(id_col).alias("doc_id"), F.col(phash_col).alias("simhash"))
+    return simhash_pairs_from_signatures(sigs, max_hamming).select(
+        F.col("doc_a").alias("image_a"), F.col("doc_b").alias("image_b"), "hamming"
+    )
