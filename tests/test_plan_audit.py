@@ -147,3 +147,34 @@ def test_knn_kring_plan_has_no_dedup_aggregate(spark):
     plan = _plan(knn.knn_kring(q, p, k=2, res=2, ring=1))
     assert "HashAggregate" not in plan and "ObjectHashAggregate" not in plan
     assert "Window" in plan  # the top-k itself
+
+
+def test_clipped_dim_native_plan_points_side_pure(spark):
+    """The clipped-dim native PIP (round 6) must keep the points side
+    zero-Python and zero-shuffle: exactly ONE MapInPandas (the clip dim
+    build, once per snapshot) and ONE shuffle exchange (the dim's
+    collect_list groupBy), both inside the broadcast subtree; the probe
+    side is a bare scan into a BroadcastHashJoin."""
+    from wikibrain_spark.operators import spatial_join
+
+    bnd = spark.createDataFrame(
+        [(1, [{"ring_lat": [0.0, 0.0, 30.0, 30.0],
+               "ring_lon": [-20.0, 40.0, 40.0, -20.0], "is_hole": False}])],
+        f"boundary_id long, rings {spatial_join.RINGS_TYPE}")
+    pts = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        F.col("event_id").cast("string").alias("image_id"),
+        (F.pmod(F.col("event_id") * 7, 160) - 80.0).alias("lat"),
+        (F.pmod(F.col("event_id") * 11, 350) - 175.0).alias("lon"),
+    )
+    plan = _plan(spatial_join.broadcast_pip_join_native(
+        pts, bnd, cell_prefilter_res=2, clip_dim=True))
+    assert plan.count("MapInPandas") == 1
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert plan.count("BroadcastExchange") == 1
+    assert plan.replace("BroadcastExchange", "BX").count("Exchange") == 1
+    # the one MapInPandas and the one Exchange are both in the broadcast
+    # (dim) subtree: toString indents children, so both must appear AFTER
+    # the BroadcastExchange line
+    bx = plan.find("BroadcastExchange")
+    assert plan.find("MapInPandas") > bx
+    assert plan.replace("BroadcastExchange", "BX").find("Exchange") > bx

@@ -386,3 +386,64 @@ def test_streaming_pip_complex_geometry_matches_batch(spark, stream_dir, tmp_pat
         check_dtype=False,
     )
     assert got["n_images"].sum() > 0
+
+
+def test_streaming_pip_clipped_dim_matches_batch(spark, stream_dir, tmp_path):
+    """Stream-static PIP with the CLIPPED prefiltered dim (round 6): the
+    clipped dim is still a broadcast static dim — its clip prepass runs on
+    the static side only — so the stream-static join stays stateless-legal
+    and must equal the batch plan over high-vertex coastline geometry."""
+    from wikibrain_spark.operators import geotag, spatial_join
+    from wikibrain_spark.sources import synthetic
+
+    coast = synthetic.generate_coastlines()
+    boundaries = spark.createDataFrame(
+        [
+            (int(r["boundary_id"]),
+             [(rr["ring_lat"], rr["ring_lon"], rr["is_hole"]) for rr in r["rings"]])
+            for _, r in coast.iterrows()
+        ],
+        f"boundary_id long, rings {spatial_join.RINGS_TYPE}",
+    )
+    counts = pipeline.streaming_pip_boundary_counts(
+        spark, stream_dir, boundaries, window_duration="10 minutes", clip_dim=True
+    )
+    pipeline.run_stream_once(counts, str(tmp_path / "ckpt_clip"), "pip_clip_test")
+    got = spark.sql("select * from pip_clip_test").toPandas()
+
+    batch = spark.read.parquet(stream_dir)
+    pts = geotag.extract_geotags(batch, resolutions=(3,), with_s2=False).join(
+        batch.select("image_id", F.timestamp_micros("event_time_us").alias("event_time")),
+        "image_id",
+    )
+    want = (
+        spatial_join.broadcast_pip_join_native(
+            pts, boundaries, cell_prefilter_res=2, extra_cols=("event_time",),
+            clip_dim=True,
+        )
+        .groupBy(F.window("event_time", "10 minutes").alias("win"), "boundary_id")
+        .agg(F.count("*").alias("n_images"))
+        .select(F.col("win.start").alias("window_start"), "boundary_id", "n_images")
+        .toPandas()
+    )
+    key = ["window_start", "boundary_id"]
+    pd.testing.assert_frame_equal(
+        got.sort_values(key).reset_index(drop=True),
+        want.sort_values(key).reset_index(drop=True),
+        check_dtype=False,
+    )
+    # and the clipped batch plan equals the UNCLIPPED batch plan's rows
+    want2 = (
+        spatial_join.broadcast_pip_join_native(
+            pts, boundaries, cell_prefilter_res=0, extra_cols=("event_time",)
+        )
+        .groupBy(F.window("event_time", "10 minutes").alias("win"), "boundary_id")
+        .agg(F.count("*").alias("n_images"))
+        .select(F.col("win.start").alias("window_start"), "boundary_id", "n_images")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(
+        want.sort_values(key).reset_index(drop=True),
+        want2.sort_values(key).reset_index(drop=True),
+        check_dtype=False,
+    )

@@ -103,6 +103,7 @@ def streaming_pip_boundary_counts(
     window_duration: str = "10 minutes",
     watermark: str = "30 minutes",
     cell_prefilter_res: int = 2,
+    clip_dim: bool = False,
 ) -> DataFrame:
     """Streaming geotag → PIP → windowed per-boundary counts.
 
@@ -111,7 +112,11 @@ def streaming_pip_boundary_counts(
     onto the stream with zero shuffle of the points, which is exactly the
     stream-static join shape Structured Streaming supports statelessly.
     Event time rides through the operator via extra_cols; the windowed
-    count then carries the watermark for late data.
+    count then carries the watermark for late data. clip_dim passes
+    through: the clipped dim is STILL a broadcast static dim (its Python
+    prepass runs on the static side only), so the stream-static legality
+    argument is unchanged — pinned equal to batch over high-vertex
+    geometry in test_streaming.
     """
     from wikibrain_spark.operators import spatial_join
 
@@ -119,7 +124,8 @@ def streaming_pip_boundary_counts(
         "image_id", "lat", "lon", "event_time"
     )
     enriched = spatial_join.broadcast_pip_join_native(
-        tagged, boundaries, cell_prefilter_res, extra_cols=("event_time",)
+        tagged, boundaries, cell_prefilter_res, extra_cols=("event_time",),
+        clip_dim=clip_dim,
     )
     return (
         enriched.withWatermark("event_time", watermark)
