@@ -105,6 +105,7 @@ def main() -> None:
         "q_knn", "q_knn_kring", "q_within_distance", "q_within_distance_shuffle",
         "q_closure", "q_closure_doubling", "q_closure_materialized", "q_doc_stats",
         "q_dedup_exact", "q_ann_topk", "q_malformed_check", "q_apply_changes",
+        "q_image_neardup",
     ]
     qs = em.queries()
     for name in headline:
