@@ -254,3 +254,45 @@ def test_all_strategies_match_numpy_oracle_on_coastline_fixture(spark):
     for name, fn in strategies.items():
         got = {(r["image_id"], r["boundary_id"]) for r in fn().collect()}
         assert got == want, f"{name} diverges from NumPy oracle on coastline"
+
+
+def test_auto_prefilter_picks_clip_for_vertex_heavy_dims(spark):
+    """auto_prefilter (round 6): the physical-strategy chooser must keep
+    the fully-native unclipped dim for low-vertex polygon sets and flip
+    to the clipped O(vertices + cells) dim when the unclipped dim's
+    edge replication would blow up — and cell_prefilter_res="auto" must
+    stay row-identical to the reference kernel either way."""
+    from wikibrain_spark.geo import pip
+
+    low = spark.createDataFrame(
+        [(1, [{"ring_lat": [0.0, 0.0, 30.0, 30.0],
+               "ring_lon": [-20.0, 40.0, 40.0, -20.0], "is_hole": False}])],
+        f"boundary_id long, rings {spatial_join.RINGS_TYPE}")
+    res_low, clip_low = spatial_join.auto_prefilter(low)
+    assert not clip_low and res_low >= 1
+
+    coast = synthetic.generate_coastlines()
+    cdf = spark.createDataFrame(
+        [(int(r["boundary_id"]),
+          [(rr["ring_lat"], rr["ring_lon"], rr["is_hole"]) for rr in r["rings"]])
+         for _, r in coast.iterrows()],
+        f"boundary_id long, rings {spatial_join.RINGS_TYPE}")
+    res_c, clip_c = spatial_join.auto_prefilter(cdf)
+    assert clip_c and res_c >= 1
+
+    rng = np.random.default_rng(5)
+    pts = pd.DataFrame({
+        "image_id": [f"p{i}" for i in range(800)],
+        "lat": rng.uniform(-85, 85, 800), "lon": rng.uniform(-180, 180, 800)})
+    pdf = spark.createDataFrame(pts)
+    want = set()
+    for _, r in coast.iterrows():
+        inside = pip.points_in_rings(
+            pts["lat"].to_numpy(), pts["lon"].to_numpy(),
+            [(rr["ring_lat"], rr["ring_lon"]) for rr in r["rings"]])
+        want |= set(zip(pts["image_id"].to_numpy()[inside],
+                        [int(r["boundary_id"])] * int(inside.sum())))
+    got = {(r["image_id"], r["boundary_id"]) for r in
+           spatial_join.broadcast_pip_join_native(
+               pdf, cdf, cell_prefilter_res="auto").collect()}
+    assert got == want

@@ -151,7 +151,68 @@ def _auto_index_res(
     return 0
 
 
-_AUTO_COVER_RES_CACHE: dict[tuple[int, float, float], int] = {}
+_COVER_STATS_CACHE: dict[int, dict] = {}
+
+
+def _cover_stats(boundaries: DataFrame) -> dict:
+    """One distributed agg of the polygon-dim sufficient statistics every
+    resolution/strategy decision needs — never collects geometry. Ring
+    level (outer rings, the cover): sums/ maxima of the bbox span products
+    ab and a+b, plus the outer-ring count, so any res's mean/max cover
+    follows from cover(r) = ab/step^2 + (a+b)/step + 1 (linear in the
+    stats). Poly level (the unclipped dim's replication): the dim ships
+    each polygon's FULL edge list once per covering cell, so its total
+    edge-struct count at res is sum_poly(edges_poly * cover_poly) =
+    S_e_ab/step^2 + S_e_sum/step + S_e_n with S_e_* = sum_poly(edges *
+    sum_outer_ring(ab | a+b | 1)) — also linear, captured in the same
+    pass. Memoized per logical plan (semanticHash): a boundary snapshot
+    is treated as immutable for the session (the same assumption the
+    broadcast PolygonIndex pull makes); every consumer is a perf knob, so
+    a stale hit can never change output rows."""
+    key = boundaries.semanticHash()
+    if key in _COVER_STATS_CACHE:
+        return _COVER_STATS_CACHE[key]
+    r = F.col("r")
+    w = _ring_wraps_col(r["ring_lon"])
+    ulo = _unwrap_lon_col(r["ring_lon"], w)
+    outer = (~r["is_hole"]).cast("double")
+    a = F.array_max(r["ring_lat"]) - F.array_min(r["ring_lat"])
+    b = F.array_max(ulo) - F.array_min(ulo)
+    per_poly = (
+        normalize_rings(boundaries)
+        .select("boundary_id", F.explode("rings").alias("r"))
+        .select(
+            "boundary_id",
+            (outer * a * b).alias("ab"),
+            (outer * (a + b)).alias("absum"),
+            outer.alias("n_outer"),
+            F.when(~r["is_hole"], a * b).alias("ab_or_null"),
+            F.when(~r["is_hole"], a + b).alias("absum_or_null"),
+            F.size(r["ring_lat"]).cast("double").alias("edges"),
+        )
+        .groupBy("boundary_id")
+        .agg(
+            F.sum("ab").alias("p_ab"),
+            F.sum("absum").alias("p_sum"),
+            F.sum("n_outer").alias("p_n"),
+            F.max("ab_or_null").alias("p_max_ab"),
+            F.max("absum_or_null").alias("p_max_sum"),
+            F.sum("edges").alias("p_edges"),
+        )
+    )
+    row = per_poly.agg(
+        F.sum("p_ab").alias("sum_ab"),
+        F.sum("p_sum").alias("sum_absum"),
+        F.sum("p_n").alias("n_outer"),
+        F.max("p_max_ab").alias("max_ab"),
+        F.max("p_max_sum").alias("max_sum"),
+        F.sum(F.col("p_edges") * F.col("p_ab")).alias("s_e_ab"),
+        F.sum(F.col("p_edges") * F.col("p_sum")).alias("s_e_sum"),
+        F.sum(F.col("p_edges") * F.col("p_n")).alias("s_e_n"),
+    ).collect()[0]
+    stats = dict(row.asDict())
+    _COVER_STATS_CACHE[key] = stats
+    return stats
 
 
 def _auto_cover_res(
@@ -182,39 +243,46 @@ def _auto_cover_res(
     buys pruning: fewer points survive the covered-cells semi-filter and
     each cover row tests fewer points, so the gates sit as fine as the
     prepass allows rather than as coarse as correctness allows."""
-    key = (boundaries.semanticHash(), max_mean_cells, max_ring_cells)
-    if key in _AUTO_COVER_RES_CACHE:
-        return _AUTO_COVER_RES_CACHE[key]
-    r = F.col("r")
-    w = _ring_wraps_col(r["ring_lon"])
-    ulo = _unwrap_lon_col(r["ring_lon"], w)
-    spans = (
-        normalize_rings(boundaries)
-        .select(F.explode("rings").alias("r"))
-        .where(~r["is_hole"])
-        .select(
-            (F.array_max(r["ring_lat"]) - F.array_min(r["ring_lat"])).alias("a"),
-            (F.array_max(ulo) - F.array_min(ulo)).alias("b"),
-        )
-        .agg(
-            F.avg(F.col("a") * F.col("b")).alias("mean_ab"),
-            F.avg(F.col("a") + F.col("b")).alias("mean_sum"),
-            F.max(F.col("a") * F.col("b")).alias("max_ab"),
-            F.max(F.col("a") + F.col("b")).alias("max_sum"),
-        )
-        .collect()[0]
-    )
-    chosen = 0
-    if spans["mean_ab"] is not None:
-        for res in range(7, 0, -1):
-            step = cells.hexlite_step(res)
-            mean_cover = spans["mean_ab"] / step**2 + spans["mean_sum"] / step + 1.0
-            max_cover = spans["max_ab"] / step**2 + spans["max_sum"] / step + 1.0
-            if mean_cover <= max_mean_cells and max_cover <= max_ring_cells:
-                chosen = res
-                break
-    _AUTO_COVER_RES_CACHE[key] = chosen
-    return chosen
+    s = _cover_stats(boundaries)
+    if not s["n_outer"]:
+        return 0
+    for res in range(7, 0, -1):
+        step = cells.hexlite_step(res)
+        mean_cover = (s["sum_ab"] / s["n_outer"]) / step**2 + (
+            s["sum_absum"] / s["n_outer"]
+        ) / step + 1.0
+        max_cover = s["max_ab"] / step**2 + s["max_sum"] / step + 1.0
+        if mean_cover <= max_mean_cells and max_cover <= max_ring_cells:
+            return res
+    return 0
+
+
+def auto_prefilter(
+    boundaries: DataFrame,
+    max_mean_cells: float = 1024.0,
+    max_ring_cells: float = 16384.0,
+    max_replicated_edges: float = 2_000_000.0,
+) -> tuple[int, bool]:
+    """Physical-strategy chooser for the broadcast native path: returns
+    (cell_prefilter_res, clip_dim) from the same one-job distributed
+    stats pass the shuffle strategy sizes itself with (_cover_stats) —
+    the engine-side analogue of Catalyst picking a join strategy from
+    size statistics. res comes from the _auto_cover_res gates; clip_dim
+    flips ON when the UNCLIPPED dim at that res would replicate more
+    than max_replicated_edges edge structs (the dim ships each polygon's
+    full edge list once per covering cell — sum_poly(edges x cover),
+    linear in the captured statistics; ~2M structs ~ a 10^2-MB broadcast,
+    past which the clipped O(vertices + cells) dim wins outright: 99.4M
+    -> 59.8k edge structs on the 12k-vertex coastline fixture at res 3).
+    Pass the result to broadcast_pip_join_native, or just pass
+    cell_prefilter_res="auto" there."""
+    res = _auto_cover_res(boundaries, max_mean_cells, max_ring_cells)
+    s = _cover_stats(boundaries)
+    if not s["n_outer"]:
+        return res, False
+    step = cells.hexlite_step(res)
+    replicated = s["s_e_ab"] / step**2 + s["s_e_sum"] / step + s["s_e_n"]
+    return res, replicated > max_replicated_edges
 
 
 def broadcast_pip_join(points: DataFrame, boundaries: DataFrame, index_res: int | None = None) -> DataFrame:
@@ -273,7 +341,7 @@ def _unwrap_lon_col(ring_lon, wrapped):
 def broadcast_pip_join_native(
     points: DataFrame,
     boundaries: DataFrame,
-    cell_prefilter_res: int | None = None,
+    cell_prefilter_res: int | str | None = None,
     extra_cols: tuple[str, ...] = (),
     clip_dim: bool = False,
 ) -> DataFrame:
@@ -300,6 +368,11 @@ def broadcast_pip_join_native(
     once per covering cell, so its broadcast is O(cells x vertices) —
     a 10^4-vertex continental ring wants res 0-1, or clip_dim=True.
 
+    cell_prefilter_res="auto" resolves BOTH the resolution and clip_dim
+    from the auto_prefilter statistics pass (one tiny agg job, memoized
+    per boundary snapshot) — the engine picks the physical dim strategy
+    the way Catalyst picks a join strategy from size stats.
+
     clip_dim (with cell_prefilter_res): build the dim with clipped_cell_dim
     — each cell carries only the geometry clipped to its window, making
     the broadcast O(vertices + cells) and the per-point fold O(local
@@ -314,6 +387,8 @@ def broadcast_pip_join_native(
     here are stream-static-join legal: a broadcast static dim and no
     shuffle of the points, so the SAME operator serves batch and stream).
     """
+    if cell_prefilter_res == "auto":
+        cell_prefilter_res, clip_dim = auto_prefilter(boundaries)
     poly_structs = polygon_structs(boundaries)
 
     lat, lon = F.col("lat"), F.col("lon")
