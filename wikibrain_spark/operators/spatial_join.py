@@ -925,7 +925,7 @@ def geotag_pip_fused(images: DataFrame, boundaries: DataFrame, index_res: int | 
 
 def tile_assignments(
     points: DataFrame, boundaries: DataFrame, res: int = 9, strategy: str = "broadcast",
-    native_prefilter_res: int | None = 3,
+    native_prefilter_res: int | str | None = 3,
 ) -> DataFrame:
     """The flagship output row (SURVEY.md §7.1 step 3): image x containing
     boundary x tile cell + the boundary's wiki tags.
@@ -941,7 +941,11 @@ def tile_assignments(
     which stopped being competitive once boundaries grew multipolygon/hole
     rings — and the dim build (polygon_cover) is now native expressions,
     so the whole plan keeps zero Python (pinned). None selects the one-row
-    dim (the plan probes in the scaling harness still measure it).
+    dim (the plan probes in the scaling harness still measure it); "auto"
+    resolves both the resolution and the clipped-vs-unclipped dim from
+    the auto_prefilter statistics pass (right for unknown/high-vertex
+    boundary snapshots; the fixed default keeps the flagship plan
+    identity stable for the gate carrier).
     """
     if strategy == "fused":
         pairs = geotag_pip_fused(points, boundaries)
