@@ -24,7 +24,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from wikibrain_spark.geo import cells
-from wikibrain_spark.geo.geodesic import haversine_km_col, haversine_km_sql
+from wikibrain_spark.geo.geodesic import (
+    EARTH_RADIUS_KM,
+    haversine_km_col,
+    haversine_km_sql,
+)
 from wikibrain_spark.functions import wikitext
 from wikibrain_spark.operators import (
     closure,
@@ -68,6 +72,9 @@ ANN_IVF_PROBE_DIR = os.path.join(
 # DuckDB oracle does the crossing-parity math independently over it
 PHASH_STAGE_DIR = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "data", "stage", "phash_sigs"
+)
+AREA_STAGE_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "data", "stage", "area_edges"
 )
 COAST_STAGE_DIR = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "data", "stage", "coastline_edges"
@@ -521,6 +528,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("image_id").cast("long").alias("event_id"), "boundary_id"
         ).orderBy("event_id", "boundary_id")
     q["q_pip_coastline_native"] = q_pip_coastline_native
+
+    # ---- geodesic polygon AREA (round 6): the engine-side counterpart of
+    # the reference's P2046 'area exists' skip condition — derived from
+    # the geometry itself via the spherical-band ring sum (exact for
+    # constant-latitude bands; pytest pins rect/donut/dateline/pole-cap
+    # against analytic values at machine precision). The oracle re-derives
+    # every ring sum in DuckDB from a staged per-ring edge table built
+    # with the SAME unwrap convention; floor to integer km^2 absorbs
+    # summation-order float noise (~1e-4 km^2 at 1e7 km^2 magnitudes).
+    def q_polygon_area(spark, sf):
+        import numpy as np
+        import pandas as pd
+
+        from wikibrain_spark.geo import pip
+        from wikibrain_spark.sources import synthetic
+
+        coast = synthetic.generate_coastlines()
+        lons = [float(-180 + 5 * i) for i in range(73)]
+        cap_row = pd.DataFrame([{
+            "boundary_id": 40,
+            "rings": [{"ring_lat": [-70.0] * 73 + [-90.0, -90.0],
+                       "ring_lon": lons + [180.0, -180.0], "is_hole": False}],
+        }])
+        rect_rows = pd.DataFrame([
+            {"boundary_id": rid,
+             "rings": [{"ring_lat": [r[0], r[0], r[1], r[1]],
+                        "ring_lon": [r[2], r[3], r[3], r[2]],
+                        "is_hole": k > 0 and any(
+                            o[0] <= r[0] and r[1] <= o[1] and o[2] <= r[2] and r[3] <= o[3]
+                            for o in rects[:k])}
+                       for k, r in enumerate(rects)]}
+            for rid, rects in POLYS
+        ])
+        allb = pd.concat([rect_rows, coast, cap_row], ignore_index=True)
+        edges = []
+        for _, row in allb.iterrows():
+            for ring_id, rr in enumerate(row["rings"]):
+                la = np.asarray(rr["ring_lat"], dtype=np.float64)
+                lo = np.asarray(rr["ring_lon"], dtype=np.float64)
+                ulo = pip.unwrap_lon(lo) if pip.ring_wraps(lo) else lo
+                nxt = np.roll(np.arange(la.size), -1)
+                edges.append(pd.DataFrame({
+                    "boundary_id": np.full(la.size, row["boundary_id"], dtype=np.int64),
+                    "ring_id": np.full(la.size, ring_id, dtype=np.int64),
+                    "is_hole": np.full(la.size, bool(rr["is_hole"])),
+                    "la0": la, "lo0": ulo, "la1": la[nxt], "lo1": ulo[nxt],
+                }))
+        os.makedirs(AREA_STAGE_DIR, exist_ok=True)
+        pd.concat(edges, ignore_index=True).to_parquet(
+            os.path.join(AREA_STAGE_DIR, "edges.parquet"), index=False
+        )
+        bdf = spark.createDataFrame(
+            [(int(r["boundary_id"]),
+              [(rr["ring_lat"], rr["ring_lon"], rr["is_hole"]) for rr in r["rings"]])
+             for _, r in allb.iterrows()],
+            f"boundary_id long, rings {spatial_join.RINGS_TYPE}",
+        )
+        return (
+            spatial_join.polygon_area_km2(bdf)
+            .select("boundary_id", F.floor("area_km2").alias("area_km2_floor"))
+            .orderBy("boundary_id")
+        )
+    q["q_polygon_area"] = q_polygon_area
 
     # ---- kNN (J14 distance-rank)
     def q_knn(spark, sf):
@@ -1408,6 +1478,20 @@ def oracle_sql() -> dict[str, str]:
         # same geometry, same oracle — the Spark side runs the CLIPPED
         # prefiltered native fold instead of the cogrouped shuffle
         "q_pip_coastline_native": coastline_pip_sql,
+        # spherical-band ring-area sum re-derived per ring from the staged
+        # unwrapped edge table; holes subtract; floor to integer km^2
+        "q_polygon_area": f"""
+            WITH e AS (SELECT * FROM read_parquet('{AREA_STAGE_DIR}/*.parquet')),
+                 rings AS (
+                   SELECT boundary_id, ring_id, any_value(is_hole) AS is_hole,
+                          abs(sum((radians(lo1) - radians(lo0))
+                                  * (2 + sin(radians(la0)) + sin(radians(la1))))) AS s
+                   FROM e GROUP BY boundary_id, ring_id)
+            SELECT boundary_id,
+                   CAST(floor(sum(CASE WHEN is_hole THEN -s ELSE s END)
+                              * {EARTH_RADIUS_KM**2 / 2.0!r}) AS BIGINT) AS area_km2_floor
+            FROM rings GROUP BY 1 ORDER BY boundary_id
+        """,
         "q_knn": knn_sql,
         "q_knn_kring": knn_kring_sql,
         "q_within_distance": f"""

@@ -240,3 +240,39 @@ def test_pole_ring_native_parity(spark):
     ):
         got = {r["image_id"] for r in fn().collect()}
         assert got == want and want
+
+
+def test_polygon_area_matches_analytic_band_areas(spark):
+    """polygon_area_km2 (round 6): the spherical-band ring sum is EXACT
+    for constant-latitude bands, so rectangle / donut / dateline /
+    pole-cap fixtures pin against closed-form areas at machine
+    precision; holes subtract."""
+    import math
+
+    from wikibrain_spark.geo.geodesic import EARTH_RADIUS_KM as R
+    from wikibrain_spark.operators import spatial_join
+
+    lons = [float(-180 + 5 * i) for i in range(73)]
+    rows = [
+        (1, [([0.0, 0.0, 30.0, 30.0], [-20.0, 40.0, 40.0, -20.0], False)]),
+        (2, [([0.0, 0.0, 50.0, 50.0], [100.0, 160.0, 160.0, 100.0], False),
+             ([10.0, 10.0, 40.0, 40.0], [110.0, 150.0, 150.0, 110.0], True)]),
+        (3, [([30.0, 30.0, 60.0, 60.0], [170.0, -170.0, -170.0, 170.0], False)]),
+        (4, [([-70.0] * 73 + [-90.0, -90.0], lons + [180.0, -180.0], False)]),
+    ]
+    bdf = spark.createDataFrame(rows, f"boundary_id long, rings {spatial_join.RINGS_TYPE}")
+    got = {r["boundary_id"]: r["area_km2"]
+           for r in spatial_join.polygon_area_km2(bdf).collect()}
+
+    def band(la0, la1, dlon_deg):
+        return R * R * math.radians(dlon_deg) * (
+            math.sin(math.radians(la1)) - math.sin(math.radians(la0)))
+
+    want = {
+        1: band(0, 30, 60),
+        2: band(0, 50, 60) - band(10, 40, 40),
+        3: band(30, 60, 20),
+        4: 2 * math.pi * R * R * (1 - math.sin(math.radians(70))),
+    }
+    for k, w in want.items():
+        assert abs(got[k] - w) / w < 1e-12, (k, got[k], w)

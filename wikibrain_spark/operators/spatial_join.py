@@ -484,6 +484,55 @@ def polygon_structs(boundaries: DataFrame) -> DataFrame:
     )
 
 
+def polygon_area_km2(boundaries: DataFrame) -> DataFrame:
+    """(boundary_id, area_km2): geodesic polygon area on the sphere —
+    per ring, the discrete spherical-band sum
+    |sum_i (lam_{i+1} - lam_i) * (2 + sin(phi_i) + sin(phi_{i+1}))| * R^2/2
+    (the classic GeoJSON/Turf ring-area formula; exact for constant-
+    latitude bands: an equator ring gives 2*pi*R^2, a pole-closed cap at
+    phi gives 2*pi*R^2*(1 - sin|phi|) through its zero-weight closure
+    edges). Hole rings subtract; lons are unwrapped per ring exactly as
+    the PIP covers do, so dateline rings integrate over a contiguous
+    lambda range. Orientation-free (per-ring absolute value).
+
+    Native Column expressions end to end — the HOF fold is interpreted
+    per vertex but runs on the polygon DIM once per snapshot, the same
+    cost position as polygon_structs. This is the engine-side counterpart
+    of the reference's P2046 'area exists' skip condition
+    (wikimedia_link_issue_reporter.py:1880-1895): there the area is a
+    Wikidata claim; here it is derivable from the geometry itself."""
+    from wikibrain_spark.geo.geodesic import EARTH_RADIUS_KM
+
+    def ring_area(r):
+        la, lo = r["ring_lat"], r["ring_lon"]
+        wrapped = _ring_wraps_col(lo)
+        ulo = _unwrap_lon_col(lo, wrapped)
+        n = F.size(la)
+        signed = F.aggregate(
+            F.sequence(F.lit(0), n - 1),
+            F.lit(0.0),
+            lambda acc, i: acc
+            + (
+                F.radians(F.element_at(ulo, F.pmod(i + 1, n) + 1))
+                - F.radians(F.element_at(ulo, i + 1))
+            )
+            * (
+                F.lit(2.0)
+                + F.sin(F.radians(F.element_at(la, i + 1)))
+                + F.sin(F.radians(F.element_at(la, F.pmod(i + 1, n) + 1)))
+            ),
+        )
+        sign = F.when(r["is_hole"], F.lit(-1.0)).otherwise(F.lit(1.0))
+        return sign * F.abs(signed) * F.lit(EARTH_RADIUS_KM**2 / 2.0)
+
+    return normalize_rings(boundaries).select(
+        "boundary_id",
+        F.aggregate(
+            F.transform(F.col("rings"), ring_area), F.lit(0.0), lambda a, x: a + x
+        ).alias("area_km2"),
+    )
+
+
 def candidate_cell_dim(boundaries: DataFrame, res: int) -> DataFrame:
     """(cell, polys array<struct>) — per-cell polygon candidate subsets for
     the prefiltered native strategy (and the scaling harness's copy probe)."""
