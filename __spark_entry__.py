@@ -537,7 +537,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # every ring sum in DuckDB from a staged per-ring edge table built
     # with the SAME unwrap convention; floor to integer km^2 absorbs
     # summation-order float noise (~1e-4 km^2 at 1e7 km^2 magnitudes).
-    def q_polygon_area(spark, sf):
+    def _stage_area_edges(spark):
+        """11-boundary geometry fixture (POLYS + coastlines + pole cap)
+        as a rings frame, with a per-ring unwrapped edge table staged for
+        the DuckDB area/perimeter oracles (haversine is sin^2-of-half-
+        angle, so the ±360 unwrap shifts change nothing there; the area
+        sum NEEDS the unwrapped frame, same as the PIP covers)."""
         import numpy as np
         import pandas as pd
 
@@ -579,18 +584,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pd.concat(edges, ignore_index=True).to_parquet(
             os.path.join(AREA_STAGE_DIR, "edges.parquet"), index=False
         )
-        bdf = spark.createDataFrame(
+        return spark.createDataFrame(
             [(int(r["boundary_id"]),
               [(rr["ring_lat"], rr["ring_lon"], rr["is_hole"]) for rr in r["rings"]])
              for _, r in allb.iterrows()],
             f"boundary_id long, rings {spatial_join.RINGS_TYPE}",
         )
+
+    def q_polygon_area(spark, sf):
+        bdf = _stage_area_edges(spark)
         return (
             spatial_join.polygon_area_km2(bdf)
             .select("boundary_id", F.floor("area_km2").alias("area_km2_floor"))
             .orderBy("boundary_id")
         )
     q["q_polygon_area"] = q_polygon_area
+
+    # ---- geodesic perimeter over the same fixture/staging: hole rings ADD
+    # boundary length; the oracle sums the same haversine over the staged
+    # edges (together with area these are the compactness QA signals)
+    def q_polygon_perimeter(spark, sf):
+        bdf = _stage_area_edges(spark)
+        return (
+            spatial_join.polygon_perimeter_km(bdf)
+            .select(
+                "boundary_id",
+                F.floor(F.col("perimeter_km") * 1000).alias("perim_km_e3"),
+            )
+            .orderBy("boundary_id")
+        )
+    q["q_polygon_perimeter"] = q_polygon_perimeter
 
     # ---- kNN (J14 distance-rank)
     def q_knn(spark, sf):
@@ -1491,6 +1514,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(sum(CASE WHEN is_hole THEN -s ELSE s END)
                               * {EARTH_RADIUS_KM**2 / 2.0!r}) AS BIGINT) AS area_km2_floor
             FROM rings GROUP BY 1 ORDER BY boundary_id
+        """,
+        "q_polygon_perimeter": f"""
+            WITH e AS (SELECT * FROM read_parquet('{AREA_STAGE_DIR}/*.parquet'))
+            SELECT boundary_id,
+                   CAST(floor(sum({haversine_km_sql("la0", "lo0", "la1", "lo1")})
+                              * 1000) AS BIGINT) AS perim_km_e3
+            FROM e GROUP BY 1 ORDER BY boundary_id
         """,
         "q_knn": knn_sql,
         "q_knn_kring": knn_kring_sql,

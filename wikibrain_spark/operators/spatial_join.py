@@ -533,6 +533,40 @@ def polygon_area_km2(boundaries: DataFrame) -> DataFrame:
     )
 
 
+def polygon_perimeter_km(boundaries: DataFrame) -> DataFrame:
+    """(boundary_id, perimeter_km): total geodesic boundary length — the
+    haversine sum over every ring's closed edge list (hole rings ARE
+    boundary, so they add). Native Column fold on the polygon dim, the
+    same cost position as polygon_area_km2; haversine is wrap-safe
+    (sin(dlon/2) is 2*pi-periodic), so raw ring coordinates need no
+    unwrap. Together with polygon_area_km2 this gives the standard
+    compactness QA signals (e.g. Polsby-Popper 4*pi*A/P^2) a boundary
+    pipeline filters on."""
+    from wikibrain_spark.geo.geodesic import haversine_km_col
+
+    def ring_len(r):
+        la, lo = r["ring_lat"], r["ring_lon"]
+        n = F.size(la)
+        return F.aggregate(
+            F.sequence(F.lit(0), n - 1),
+            F.lit(0.0),
+            lambda acc, i: acc
+            + haversine_km_col(
+                F.element_at(la, i + 1),
+                F.element_at(lo, i + 1),
+                F.element_at(la, F.pmod(i + 1, n) + 1),
+                F.element_at(lo, F.pmod(i + 1, n) + 1),
+            ),
+        )
+
+    return normalize_rings(boundaries).select(
+        "boundary_id",
+        F.aggregate(
+            F.transform(F.col("rings"), ring_len), F.lit(0.0), lambda a, x: a + x
+        ).alias("perimeter_km"),
+    )
+
+
 def candidate_cell_dim(boundaries: DataFrame, res: int) -> DataFrame:
     """(cell, polys array<struct>) — per-cell polygon candidate subsets for
     the prefiltered native strategy (and the scaling harness's copy probe)."""
