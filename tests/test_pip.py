@@ -237,6 +237,14 @@ def test_pole_ring_native_parity(spark):
         lambda: spatial_join.broadcast_pip_join_native(
             pdf, bdf, cell_prefilter_res=2, clip_dim=True),
         lambda: spatial_join.broadcast_pip_join(pdf, bdf),
+        # both SHUFFLE transports: Sutherland-Hodgman pieces of the
+        # pole-closure edges, and the full-ring packed wire format
+        lambda: spatial_join.shuffle_pip_join(
+            pdf, bdf, res=2, hot_cell_threshold=100, n_salt=4,
+            hotness_sample_fraction=1.0),
+        lambda: spatial_join.shuffle_pip_join(
+            pdf, bdf, res=2, hot_cell_threshold=100, n_salt=4,
+            hotness_sample_fraction=1.0, clip_cover=False),
     ):
         got = {r["image_id"] for r in fn().collect()}
         assert got == want and want
