@@ -296,3 +296,21 @@ def test_auto_prefilter_picks_clip_for_vertex_heavy_dims(spark):
            spatial_join.broadcast_pip_join_native(
                pdf, cdf, cell_prefilter_res="auto").collect()}
     assert got == want
+
+
+def test_all_strategies_handle_empty_boundary_dim(spark):
+    """An empty boundary snapshot is a legitimate production state (a
+    region filter matching nothing); every strategy — including the auto
+    chooser and both clipped paths, whose stats/clip prepasses see zero
+    rows — must return an empty result, not raise."""
+    pdf = spark.createDataFrame(
+        pd.DataFrame({"image_id": ["a", "b"], "lat": [1.0, 2.0], "lon": [3.0, 4.0]}))
+    empty = spark.createDataFrame([], f"boundary_id long, rings {spatial_join.RINGS_TYPE}")
+    for fn in (
+        lambda: spatial_join.shuffle_pip_join(pdf, empty),
+        lambda: spatial_join.broadcast_pip_join_native(pdf, empty, cell_prefilter_res="auto"),
+        lambda: spatial_join.broadcast_pip_join_native(pdf, empty, cell_prefilter_res=2, clip_dim=True),
+        lambda: spatial_join.broadcast_pip_join(pdf, empty),
+        lambda: spatial_join.broadcast_pip_join_native(pdf, empty),
+    ):
+        assert fn().count() == 0
