@@ -1,0 +1,236 @@
+"""Round-7 pins for the round-6 ADVICE/verdict hygiene items:
+
+- three-way (NumPy / Column / SQL) parent-rollup parity, including cells
+  whose centers sit exactly at parent-cell boundaries (the ulp trap the
+  identical-arithmetic-form fix in geo/cells.py closes);
+- the clipped cover is a provable SUBSET of the bbox cover the shuffle
+  semi-filter broadcasts, including the lon_max == +180 seam ring;
+- _COVER_STATS_CACHE is LRU-bounded with an explicit clear hook;
+- _shuffle_partitions falls back to defaultParallelism when the conf is
+  non-numeric ("auto" on AQE-managed deployments);
+- drop_table enforces the same _SAFE_NAME contract as save_table;
+- shuffle_pip_join's clip_cover="auto" flip reads the same statistics
+  as auto_prefilter's clip_dim and lands on the same side.
+"""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from wikibrain_spark.geo import cells, clip
+from wikibrain_spark.operators import spatial_join
+from wikibrain_spark.sources import catalog, synthetic
+
+
+def _three_way_parents(spark, child_ids: np.ndarray, parent_res: int, child_res: int):
+    np_par = cells.hexlite_parent(child_ids, parent_res)
+    pdf = pd.DataFrame({"c": child_ids})
+    col_par = (
+        spark.createDataFrame(pdf)
+        .select(cells.hexlite_parent_col(F.col("c"), parent_res, child_res).alias("p"))
+        .toPandas()["p"]
+        .to_numpy()
+    )
+    con = duckdb.connect()
+    con.register("t", pdf)
+    sql_par = (
+        con.sql(f"select {cells.hexlite_parent_sql('c', parent_res, child_res)} as p from t")
+        .df()["p"]
+        .to_numpy()
+    )
+    return np_par, col_par, sql_par
+
+
+@pytest.mark.parametrize("child_res,parent_res", [(7, 3), (9, 4), (5, 1), (4, 2)])
+def test_hexlite_parent_three_way_parity_random(spark, child_res, parent_res):
+    rng = np.random.default_rng(7)
+    lats = rng.uniform(-89.9, 89.9, 2000)
+    lons = rng.uniform(-180.0, 180.0, 2000)
+    child = cells.hexlite_cell(lats, lons, child_res)
+    np_par, col_par, sql_par = _three_way_parents(spark, child, parent_res, child_res)
+    assert np.array_equal(np_par, col_par)
+    assert np.array_equal(np_par, sql_par)
+
+
+@pytest.mark.parametrize("child_res,parent_res", [(3, 1), (2, 0)])
+def test_hexlite_parent_three_way_parity_exhaustive(spark, child_res, parent_res):
+    """EVERY child cell at the resolution — no boundary cell escapes.
+
+    The odd-resolution steps (sqrt7 ladder) make child centers land
+    arbitrarily close to parent-cell boundaries; a different-but-equal
+    arithmetic form for the center can floor to a different parent
+    exactly there (round-6 ADVICE item 4)."""
+    n_lat, n_lon = cells.hexlite_dims(child_res)
+    lat_idx, lon_idx = np.meshgrid(
+        np.arange(n_lat, dtype=np.int64), np.arange(n_lon, dtype=np.int64), indexing="ij"
+    )
+    hdr = (np.int64(cells.HEXLITE_MODE) << 60) | (np.int64(child_res) << 56)
+    child = (hdr | (lat_idx.ravel() << 28) | lon_idx.ravel()).astype(np.int64)
+    np_par, col_par, sql_par = _three_way_parents(spark, child, parent_res, child_res)
+    assert np.array_equal(np_par, col_par)
+    assert np.array_equal(np_par, sql_par)
+
+
+def _ring_bbox_cover(rings: list, res: int) -> set:
+    """The bbox cover the shuffle semi-filter broadcasts: per ring, the
+    hexlite_cover_bbox of its unwrapped extent."""
+    from wikibrain_spark.geo import pip
+
+    out: set = set()
+    for la, lo in rings:
+        la = np.asarray(la, dtype=np.float64)
+        lo = np.asarray(lo, dtype=np.float64)
+        xs = pip.unwrap_lon(lo) if pip.ring_wraps(lo) else lo
+        out |= set(
+            cells.hexlite_cover_bbox(
+                float(la.min()), float(la.max()), float(xs.min()), float(xs.max()), res
+            ).tolist()
+        )
+    return out
+
+
+@pytest.mark.parametrize("res", [1, 2, 3])
+def test_clipped_cover_subset_of_bbox_cover(res):
+    """clipped_cell_cover must never emit a cell the semi-filter's bbox
+    cover would drop — including the lon_max == +180 seam ring (round-6
+    ADVICE item 5: the old non-wrapped branch skipped branch B there)
+    and a dateline-wrapping ring at an odd (non-integral 360/step)
+    resolution."""
+    ring_sets = {
+        "plain": [([10.0, 10.0, 35.0, 35.0], [-40.0, 5.0, 5.0, -40.0])],
+        "seam_180": [([-20.0, -20.0, 12.0, 12.0], [150.0, 180.0, 180.0, 150.0])],
+        "dateline": [([-5.0, -5.0, 20.0, 20.0], [170.0, -165.0, -165.0, 170.0])],
+        "donut": [
+            ([0.0, 0.0, 30.0, 30.0], [0.0, 40.0, 40.0, 0.0]),
+            ([10.0, 10.0, 20.0, 20.0], [10.0, 30.0, 30.0, 10.0]),
+        ],
+    }
+    for name, rings in ring_sets.items():
+        got = set(clip.clipped_cell_cover(rings, res).keys())
+        bbox = _ring_bbox_cover(rings, res)
+        assert got, f"{name}: clipped cover empty"
+        assert got <= bbox, (
+            f"{name}@res{res}: clipped cover emits cells outside the "
+            f"semi-filter bbox cover: {sorted(got - bbox)[:5]}"
+        )
+
+
+def _tiny_boundary(spark, lon0: float):
+    return spark.createDataFrame(
+        [(1, [{"ring_lat": [0.0, 0.0, 5.0, 5.0],
+               "ring_lon": [lon0, lon0 + 5.0, lon0 + 5.0, lon0], "is_hole": False}])],
+        f"boundary_id long, rings {spatial_join.RINGS_TYPE}",
+    )
+
+
+def test_cover_stats_cache_lru_bound_and_clear(spark, monkeypatch):
+    monkeypatch.setattr(spatial_join, "_COVER_STATS_CACHE_MAX", 2)
+    spatial_join.clear_cover_stats_cache()
+    frames = [_tiny_boundary(spark, lon0) for lon0 in (-40.0, 0.0, 40.0)]
+    keys = [f.semanticHash() for f in frames]
+    assert len(set(keys)) == 3, "fixture frames must hash distinctly"
+    for f in frames:
+        spatial_join._cover_stats(f)
+    assert len(spatial_join._COVER_STATS_CACHE) == 2
+    assert keys[0] not in spatial_join._COVER_STATS_CACHE  # LRU evicted
+    assert keys[2] in spatial_join._COVER_STATS_CACHE
+    # re-touching an entry refreshes recency before the next insert
+    spatial_join._cover_stats(frames[1])
+    spatial_join._cover_stats(frames[0])
+    assert keys[1] in spatial_join._COVER_STATS_CACHE
+    assert keys[2] not in spatial_join._COVER_STATS_CACHE
+    spatial_join.clear_cover_stats_cache()
+    assert not spatial_join._COVER_STATS_CACHE
+
+
+def test_shuffle_partitions_fallback_on_non_numeric_conf(spark):
+    assert spatial_join._shuffle_partitions(spark) == int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+
+    # vanilla Spark validates the conf as int at set() time, so the
+    # "auto" spelling (AQE-managed deployments, e.g. Databricks) can't
+    # be injected into a live session — exercise the fallback through a
+    # stub with the same attribute shape instead
+    class _Conf:
+        def get(self, key):
+            assert key == "spark.sql.shuffle.partitions"
+            return "auto"
+
+    class _SC:
+        defaultParallelism = 12
+
+    class _Stub:
+        conf = _Conf()
+        sparkContext = _SC()
+
+    assert spatial_join._shuffle_partitions(_Stub()) == 12
+
+
+def test_drop_table_rejects_unsafe_name(spark):
+    for bad in ("x; DROP TABLE y", "a b", "t`x", ""):
+        with pytest.raises(ValueError):
+            catalog.drop_table(spark, bad)
+
+
+def test_shuffle_clip_cover_auto_matches_prefilter_decision(spark):
+    """clip_cover='auto' and auto_prefilter's clip_dim read the same
+    _replication_estimates: a 4-vertex rectangle set stays on the
+    zero-extra-Python native cover (the regressed round-6 bench row),
+    the 12k-edge coastline flips clipping on."""
+    low = _tiny_boundary(spark, -20.0)
+    res_low = spatial_join._auto_cover_res(low)
+    _, rep_low = spatial_join._replication_estimates(low, res_low)
+    assert rep_low <= 2_000_000.0  # auto -> unclipped
+    _, clip_low = spatial_join.auto_prefilter(low)
+    assert not clip_low
+
+    coast = synthetic.generate_coastlines()
+    cdf = spark.createDataFrame(
+        [(int(r["boundary_id"]),
+          [(rr["ring_lat"], rr["ring_lon"], rr["is_hole"]) for rr in r["rings"]])
+         for _, r in coast.iterrows()],
+        f"boundary_id long, rings {spatial_join.RINGS_TYPE}",
+    )
+    res_c = spatial_join._auto_cover_res(cdf)
+    cover_c, rep_c = spatial_join._replication_estimates(cdf, res_c)
+    assert rep_c > 2_000_000.0  # auto -> clipped
+    _, clip_c = spatial_join.auto_prefilter(cdf)
+    assert clip_c
+    assert cover_c > 0.0
+
+
+def test_pole_closure_perimeter_convention_pinned(spark):
+    """COVERAGE.md delta 5 (round-6 verdict item 4, adjudicated DOCUMENT):
+    polygon_perimeter_km counts an OSM/GeoJSON pole-closure ring's
+    synthetic meridian segments as boundary — perimeter of a lat -70
+    Antarctica-style cap = coast length + EXACTLY two 20-degree meridian
+    legs (the lat -90 seam edge is zero-length under haversine:
+    cos(-90) = 0 kills the dlon term). polygon_area_km2 must stay
+    closure-edge-free (spherical-band weight 2 + sin(-90) + sin(-90) = 0
+    exactly on the seam edge; meridian legs have dlon = 0)."""
+    from wikibrain_spark.geo.geodesic import EARTH_RADIUS_KM, haversine_km
+
+    lons = np.linspace(-180, 180, 73)
+    ring_lon = np.concatenate([lons, [180.0, -180.0]]).tolist()
+    ring_lat = np.concatenate([np.full(73, -70.0), [-90.0, -90.0]]).tolist()
+    bdf = spark.createDataFrame(
+        [(1, [{"ring_lat": ring_lat, "ring_lon": ring_lon, "is_hole": False}])],
+        f"boundary_id long, rings {spatial_join.RINGS_TYPE}",
+    )
+    got_p = spatial_join.polygon_perimeter_km(bdf).collect()[0]["perimeter_km"]
+    coast = float(
+        haversine_km(
+            np.full(72, -70.0), lons[:-1], np.full(72, -70.0), lons[1:]
+        ).sum()
+    )
+    meridian_leg = EARTH_RADIUS_KM * np.radians(20.0)
+    assert got_p == pytest.approx(coast + 2.0 * meridian_leg, rel=1e-12)
+    assert 2.0 * meridian_leg == pytest.approx(4448.0, abs=5.0)  # the phantom km
+
+    # area is exact for the cap despite the closure edges: 2*pi*R^2*(1+sin(-70))
+    got_a = spatial_join.polygon_area_km2(bdf).collect()[0]["area_km2"]
+    want_a = 2.0 * np.pi * EARTH_RADIUS_KM**2 * (1.0 + np.sin(np.radians(-70.0)))
+    assert got_a == pytest.approx(want_a, rel=1e-12)

@@ -153,19 +153,27 @@ def hexlite_parent_col(cell: Column, parent_res: int, child_res: int) -> Column:
     constant — at rest the engine stores one resolution per column, so the
     decode step stays literal arithmetic inside whole-stage codegen."""
     step_c = hexlite_step(child_res)
+    # identical arithmetic FORM to hexlite_center's (idx + 0.5) * step - 90:
+    # a different-but-algebraically-equal form (idx*step + (step/2 - 90))
+    # can differ by an ulp, letting the parent floor disagree with the
+    # NumPy kernel exactly at a parent-cell boundary (three-way parity is
+    # pinned in test_cells)
     lat_c = (
-        F.shiftright(cell, 28).bitwiseAND(F.lit(_IDX_MASK)) * F.lit(step_c)
-        + F.lit(step_c / 2.0 - 90.0)
-    )
-    lon_c = cell.bitwiseAND(F.lit(_IDX_MASK)) * F.lit(step_c) + F.lit(step_c / 2.0 - 180.0)
+        F.shiftright(cell, 28).bitwiseAND(F.lit(_IDX_MASK)).cast("double") + F.lit(0.5)
+    ) * F.lit(step_c) - F.lit(90.0)
+    lon_c = (
+        cell.bitwiseAND(F.lit(_IDX_MASK)).cast("double") + F.lit(0.5)
+    ) * F.lit(step_c) - F.lit(180.0)
     return hexlite_cell_col(lat_c, lon_c, parent_res)
 
 
 def hexlite_parent_sql(cell_expr: str, parent_res: int, child_res: int) -> str:
     """Equivalent ANSI SQL (DuckDB oracle). Must match the two above."""
     step_c = hexlite_step(child_res)
-    lat_c = f"((({cell_expr} >> 28) & {_IDX_MASK}) * {step_c!r} + {step_c / 2.0 - 90.0!r})"
-    lon_c = f"(({cell_expr} & {_IDX_MASK}) * {step_c!r} + {step_c / 2.0 - 180.0!r})"
+    # same (idx + 0.5) * step - 90 form as hexlite_center / the Column
+    # mirror — see hexlite_parent_col for why the form itself matters
+    lat_c = f"(((({cell_expr} >> 28) & {_IDX_MASK}) + 0.5) * {step_c!r} - 90.0)"
+    lon_c = f"((({cell_expr} & {_IDX_MASK}) + 0.5) * {step_c!r} - 180.0)"
     return hexlite_cell_sql(lat_c, lon_c, parent_res)
 
 

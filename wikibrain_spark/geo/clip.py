@@ -121,23 +121,26 @@ def clipped_cell_cover(rings: list, res: int) -> dict[int, list]:
         i0 = max(0, int(np.floor((la.min() + 90.0) / step)))
         i1 = min(n_lat - 1, int(np.floor((la.max() + 90.0) / step)))
         # candidate RAW lon cells: project the ring's x-range back through
-        # the probe-side cell formula (two raw intervals for wrapped rings)
-        if wraps:
-            u_lo, u_hi = float(xs_ring.min()), float(xs_ring.max())
-            cs: set[int] = set()
-            if u_lo < 180.0:  # raw >= 0 branch
-                c_a = int(np.floor((u_lo + 180.0) / step))
-                c_b = int(np.floor((min(u_hi, np.nextafter(180.0, 0.0)) + 180.0) / step))
-                cs.update(range(max(0, c_a), min(n_lon - 1, c_b) + 1))
-            if u_hi >= 180.0:  # raw < 0 branch (probe lon + 360 lands here)
-                c_a = int(np.floor((max(u_lo, 180.0) - 360.0 + 180.0) / step))
-                c_b = int(np.floor((u_hi - 360.0 + 180.0) / step))
-                cs.update(range(max(0, c_a), min(n_lon - 1, c_b) + 1))
-            cols = sorted(cs)
-        else:
-            c_a = int(np.floor((xs_ring.min() + 180.0) / step))
-            c_b = int(np.floor((xs_ring.max() + 180.0) / step))
-            cols = list(range(max(0, c_a), min(n_lon - 1, c_b) + 1))
+        # the probe-side cell formula, mirroring hexlite_cover_bbox's two
+        # branches EXACTLY so the clipped cover is a provable subset of the
+        # bbox cover the semi-filter broadcasts (round-6 ADVICE: the old
+        # non-wrapped branch skipped branch B when lon_max == +180, silently
+        # relying on the half-open edge rule to keep a lon=+180 probe
+        # outside). Branch A columns clip against the window itself; branch
+        # B columns (unwrapped x >= 180, where raw probes arrive at x-360,
+        # i.e. probe lons shift +360) clip against the window's +360 image.
+        u_lo, u_hi = float(xs_ring.min()), float(xs_ring.max())
+        cs: set[int] = set()
+        shifted: set[int] = set()
+        if u_lo < 180.0:  # branch A: probes keep their raw longitude
+            c_a = int(np.floor((u_lo + 180.0) / step))
+            c_b = int(np.floor((min(u_hi, np.nextafter(180.0, 0.0)) + 180.0) / step))
+            cs.update(range(max(0, c_a), min(n_lon - 1, c_b) + 1))
+        if u_hi >= 180.0:  # branch B: probes arrive at x - 360
+            c_a = int(np.floor((max(u_lo, 180.0) - 180.0) / step))
+            c_b = int(np.floor((u_hi - 180.0) / step))
+            shifted.update(range(max(0, c_a), min(n_lon - 1, c_b) + 1))
+        cols = sorted(cs | shifted)
 
         for i in range(i0, i1 + 1):
             y_lo = i * step - 90.0
@@ -149,20 +152,25 @@ def clipped_cell_cover(rings: list, res: int) -> dict[int, list]:
             sx_min, sx_max = float(sx.min()), float(sx.max())
             for c in cols:
                 x_lo = c * step - 180.0
-                windows = ((x_lo, x_lo + step),)
-                if wraps:
-                    # both images of the raw cell window in the unwrapped
-                    # frame: raw >= 0 probes keep their lon, raw < 0
-                    # probes arrive shifted +360
-                    windows = ((x_lo, x_lo + step), (x_lo + 360.0, x_lo + 360.0 + step))
-                for w_lo, w_hi in windows:
+                # each branch clips against ITS image of the raw cell
+                # window in the ring's test frame: branch A the window
+                # itself (probes keep their lon), branch B the +360 image
+                # (raw < 0 probes arrive shifted +360 — and so does a raw
+                # +180 probe, which encodes into the seam column j=0 and
+                # keeps its lon, landing inside the +360 image directly)
+                windows = []
+                if c in cs:
+                    windows.append((x_lo, x_lo + step, wraps))
+                if c in shifted:
+                    windows.append((x_lo + 360.0, x_lo + 360.0 + step, True))
+                for w_lo, w_hi, unwrap_probe in windows:
                     if sx_max < w_lo - m or sx_min > w_hi + m:
                         continue
                     piece = clip_ring(sy, sx, -1e30, 1e30, w_lo - m, w_hi + m)
                     if piece is None:
                         continue
                     cell_id = hdr | (i << 28) | c
-                    out.setdefault(cell_id, []).append((piece[0], piece[1], wraps))
+                    out.setdefault(cell_id, []).append((piece[0], piece[1], unwrap_probe))
     return out
 
 

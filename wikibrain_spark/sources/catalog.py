@@ -92,6 +92,11 @@ def table_exists(spark: SparkSession, name: str) -> bool:
 
 
 def drop_table(spark: SparkSession, name: str) -> None:
-    """Drop a managed table if it exists (no-op otherwise)."""
+    """Drop a managed table if it exists (no-op otherwise). Same name
+    guard as save_table: the name is interpolated into SQL, and callers
+    (materialized_closure et al.) pass user-supplied table names through
+    here, so the two entry points must enforce one contract."""
+    if not _SAFE_NAME.fullmatch(name):
+        raise ValueError(f"table name must be a bare [A-Za-z0-9_]+ identifier: {name!r}")
     if spark.catalog.tableExists(name):
         spark.sql(f"DROP TABLE {name}")
