@@ -234,3 +234,27 @@ def test_pole_closure_perimeter_convention_pinned(spark):
     got_a = spatial_join.polygon_area_km2(bdf).collect()[0]["area_km2"]
     want_a = 2.0 * np.pi * EARTH_RADIUS_KM**2 * (1.0 + np.sin(np.radians(-70.0)))
     assert got_a == pytest.approx(want_a, rel=1e-12)
+
+
+def test_flagship_auto_prefilter_plan_identity(spark, tmp_path):
+    """Round-6 verdict item 5: tile_assignments defaults to
+    native_prefilter_res="auto". The gate-carrier bench row stays
+    measurable only if the auto decision on the flagship fixture is
+    STABLE — pin it, and pin that the auto default stays row-identical
+    to the previously-pinned fixed res on the e2e fixture."""
+    paths = synthetic.materialize(str(tmp_path / "wbs"), 200)
+    images = spark.read.parquet(paths["images"])
+    bdf = spark.read.parquet(paths["boundaries"])
+    assert spatial_join.auto_prefilter(bdf) == (4, False), (
+        "flagship fixture auto decision drifted — the bench gate-carrier "
+        "plan changed; re-adjudicate BENCH/NOTES before accepting"
+    )
+    auto_rows = spatial_join.tile_assignments(
+        images, bdf, res=9, strategy="native"
+    ).collect()
+    fixed_rows = spatial_join.tile_assignments(
+        images, bdf, res=9, strategy="native", native_prefilter_res=3
+    ).collect()
+    key = lambda r: (r["image_id"], r["boundary_id"])
+    assert sorted(auto_rows, key=key) == sorted(fixed_rows, key=key)
+    assert len(auto_rows) > 0

@@ -1105,7 +1105,7 @@ def geotag_pip_fused(images: DataFrame, boundaries: DataFrame, index_res: int | 
 
 def tile_assignments(
     points: DataFrame, boundaries: DataFrame, res: int = 9, strategy: str = "broadcast",
-    native_prefilter_res: int | str | None = 3,
+    native_prefilter_res: int | str | None = "auto",
 ) -> DataFrame:
     """The flagship output row (SURVEY.md §7.1 step 3): image x containing
     boundary x tile cell + the boundary's wiki tags.
@@ -1120,12 +1120,18 @@ def tile_assignments(
     edges) — the one-row-dim fold pays every polygon's edges per point,
     which stopped being competitive once boundaries grew multipolygon/hole
     rings — and the dim build (polygon_cover) is now native expressions,
-    so the whole plan keeps zero Python (pinned). None selects the one-row
-    dim (the plan probes in the scaling harness still measure it); "auto"
-    resolves both the resolution and the clipped-vs-unclipped dim from
-    the auto_prefilter statistics pass (right for unknown/high-vertex
-    boundary snapshots; the fixed default keeps the flagship plan
-    identity stable for the gate carrier).
+    so the whole plan keeps zero Python (pinned). The DEFAULT is "auto"
+    (round 7): both the resolution and the clipped-vs-unclipped dim come
+    from the auto_prefilter statistics pass, so a user pointing the
+    flagship at an unknown/high-vertex boundary snapshot gets a legal
+    broadcast plan without knowing to ask — the engine-side analogue of
+    Catalyst choosing a join strategy from size statistics. Gate-carrier
+    measurability is preserved by a plan-identity pin: the flagship
+    fixture must keep resolving to (4, unclipped)
+    (tests/test_round7_hygiene.py), so the bench row's plan cannot drift
+    silently. A fixed int keeps the old behavior; None selects the
+    one-row dim (the plan probes in the scaling harness still measure
+    it).
     """
     if strategy == "fused":
         pairs = geotag_pip_fused(points, boundaries)
