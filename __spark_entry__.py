@@ -79,6 +79,9 @@ AREA_STAGE_DIR = os.path.join(
 COAST_STAGE_DIR = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "data", "stage", "coastline_edges"
 )
+MEGA_STAGE_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "data", "stage", "megacoast_edges"
+)
 
 # deterministic derived coordinates (integer arithmetic -> exact in both
 # engines): events become points, nations become places
@@ -86,6 +89,27 @@ LAT_EXPR = "(CAST((event_id * 37) % 1700 AS DOUBLE) / 10.0) - 85.0"
 LON_EXPR = "(CAST((event_id * 91) % 3600 AS DOUBLE) / 10.0) - 180.0"
 PLACE_LAT = "(CAST((n_nationkey * 13) % 170 AS DOUBLE) * 1.0) - 85.0"
 PLACE_LON = "(CAST((n_nationkey * 29) % 360 AS DOUBLE) * 1.0) - 180.0"
+
+# megacoast probe layout (round 7): CONCENTRATED over the two stress
+# polygons' bboxes — even event_ids land in the continent box, odd in the
+# dateline-shelf box (wrapped back to [-180, 180)) — so the row measures
+# refine compute, not empty-cell semi-filter throughput (the r4/r6 row
+# sizing lesson), and a modest event_id % 11 subsample keeps the DuckDB
+# nested-loop oracle bounded (~5.5e8 predicate evals at sf0.01) while
+# still producing hundreds of hits on BOTH boundaries. Integer lattice
+# arithmetic -> bit-exact in both engines.
+MEGA_LAT_EXPR = (
+    "(CASE WHEN event_id % 2 = 0"
+    " THEN (CAST((event_id * 37) % 1100 AS DOUBLE) / 10.0) - 35.0"
+    " ELSE (CAST((event_id * 37) % 400 AS DOUBLE) / 10.0) - 30.0 END)"
+)
+MEGA_LON_EXPR = (
+    "(CASE WHEN event_id % 2 = 0"
+    " THEN (CAST((event_id * 91) % 1300 AS DOUBLE) / 10.0) - 95.0"
+    " WHEN (event_id * 91) % 500 >= 250"
+    " THEN (CAST((event_id * 91) % 500 AS DOUBLE) / 10.0) - 205.0"
+    " ELSE (CAST((event_id * 91) % 500 AS DOUBLE) / 10.0) + 155.0 END)"
+)
 
 # clustered kNN layout for the k-ring query (dense regional box)
 KR_QLAT = "40.0 + (CAST((event_id * 37) % 1000 AS DOUBLE) / 100.0)"
@@ -528,6 +552,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("image_id").cast("long").alias("event_id"), "boundary_id"
         ).orderBy("event_id", "boundary_id")
     q["q_pip_coastline_native"] = q_pip_coastline_native
+
+    # ---- 600k-vertex MEGACOAST stress (round 7): an order of magnitude
+    # past the 12k-edge coastline — real OSM admin boundaries reach 10^6
+    # vertices, and this is where the O(vertices + cells) clip transport
+    # claim lives. Probes are subsampled (event_id % 37) so the DuckDB
+    # crossing-parity oracle's nested-loop join stays ~1.6e8 predicate
+    # evaluations at sf0.01; the ENGINE side runs the same subsample so
+    # the comparison is exact. Both physical strategies take their
+    # statistics-driven defaults: the shuffle flips clip_cover on (the
+    # replicated-edge estimate is ~10^8 at the auto res) and the native
+    # path resolves cell_prefilter_res="auto" to a clipped dim.
+    def _mega_inputs(spark, sf):
+        from wikibrain_spark.sources import synthetic
+
+        os.makedirs(MEGA_STAGE_DIR, exist_ok=True)
+        marker = os.path.join(MEGA_STAGE_DIR, ".done_v2")
+        if not os.path.exists(marker):
+            mega = synthetic.generate_megacoast()
+            # oracle side: flat edge table; engine side: the rings frame
+            # as parquet — a 600k-vertex boundary snapshot enters through
+            # the scan path like production data, NOT via a driver-side
+            # createDataFrame of megabyte Python lists
+            synthetic.coastline_edges(mega).to_parquet(
+                os.path.join(MEGA_STAGE_DIR, "edges.parquet"), index=False
+            )
+            mega.to_parquet(
+                os.path.join(MEGA_STAGE_DIR, "boundaries.parquet"), index=False
+            )
+            open(marker, "w").close()
+        bnd = spark.read.parquet(os.path.join(MEGA_STAGE_DIR, "boundaries.parquet"))
+        pts = (
+            _t(spark, sf, "events")
+            .where(F.col("event_id") % 11 == 0)
+            .select(
+                F.col("event_id").cast("string").alias("image_id"),
+                F.expr(MEGA_LAT_EXPR).alias("lat"),
+                F.expr(MEGA_LON_EXPR).alias("lon"),
+            )
+        )
+        return pts, bnd
+
+    def q_pip_megacoast(spark, sf):
+        pts, bnd = _mega_inputs(spark, sf)
+        pairs = spatial_join.shuffle_pip_join(
+            pts, bnd, hot_cell_threshold=2000, n_salt=4
+        )
+        return pairs.select(
+            F.col("image_id").cast("long").alias("event_id"), "boundary_id"
+        ).orderBy("event_id", "boundary_id")
+    q["q_pip_megacoast"] = q_pip_megacoast
+
+    def q_pip_megacoast_native(spark, sf):
+        pts, bnd = _mega_inputs(spark, sf)
+        pairs = spatial_join.broadcast_pip_join_native(
+            pts, bnd, cell_prefilter_res="auto"
+        )
+        return pairs.select(
+            F.col("image_id").cast("long").alias("event_id"), "boundary_id"
+        ).orderBy("event_id", "boundary_id")
+    q["q_pip_megacoast_native"] = q_pip_megacoast_native
 
     # ---- geodesic polygon AREA (round 6): the engine-side counterpart of
     # the reference's P2046 'area exists' skip condition — derived from
@@ -1301,6 +1385,25 @@ def oracle_sql() -> dict[str, str]:
         WHERE n_cross % 2 = 1
         ORDER BY event_id, boundary_id
     """
+    # megacoast (round 7): same independent crossing-parity math over the
+    # staged 600k-edge table; probes subsampled (event_id % 37) exactly as
+    # the engine query so the nested-loop join stays bounded at sf0.01
+    mega_pip_sql = f"""
+        WITH pts AS (SELECT event_id, {MEGA_LAT_EXPR} AS lat, {MEGA_LON_EXPR} AS lon
+                     FROM events WHERE event_id % 11 = 0),
+             edges AS (SELECT * FROM read_parquet('{MEGA_STAGE_DIR}/edges.parquet')),
+             hits AS (
+               SELECT p.event_id, e.boundary_id, COUNT(*) AS n_cross
+               FROM pts p JOIN edges e
+                 ON ((e.y0 > p.lat) <> (e.y1 > p.lat))
+                AND (CASE WHEN e.wrapped AND p.lon < 0 THEN p.lon + 360.0 ELSE p.lon END)
+                    < (e.x1 - e.x0) * (p.lat - e.y0) / nullif(e.y1 - e.y0, 0.0) + e.x0
+               GROUP BY 1, 2
+             )
+        SELECT event_id, boundary_id FROM hits
+        WHERE n_cross % 2 = 1
+        ORDER BY event_id, boundary_id
+    """
     jaccard_sql = """
         WITH d AS (
           SELECT doc_id, lang, CAST(floor(length(text) / 200) AS BIGINT) AS lbucket,
@@ -1501,6 +1604,10 @@ def oracle_sql() -> dict[str, str]:
         # same geometry, same oracle — the Spark side runs the CLIPPED
         # prefiltered native fold instead of the cogrouped shuffle
         "q_pip_coastline_native": coastline_pip_sql,
+        # 600k-vertex stress: cogrouped clip-to-cell shuffle vs the
+        # independent staged-edge crossing-parity oracle (round 7)
+        "q_pip_megacoast": mega_pip_sql,
+        "q_pip_megacoast_native": mega_pip_sql,
         # spherical-band ring-area sum re-derived per ring from the staged
         # unwrapped edge table; holes subtract; floor to integer km^2
         "q_polygon_area": f"""

@@ -111,6 +111,24 @@ def main() -> None:
     for name in headline:
         timings[name] = _time_min(lambda: _materialize(qs[name](spark, sf_dir)), runs)
 
+    # ---- 600k-vertex megacoast stress rows (round 7): the full-query
+    # rows carry a genuine per-invocation snapshot prepass (600k-vertex
+    # nested-parquet scan + Python clip + cover stats on first touch);
+    # the *_prepass rows time the clipped-dim build ALONE so the
+    # round-over-round scoreboard can tell prepass drift from join/refine
+    # drift (once-per-snapshot cost at production; per-invocation here).
+    from wikibrain_spark.operators import spatial_join as _sj
+
+    timings["q_pip_megacoast"] = _time_min(
+        lambda: _materialize(qs["q_pip_megacoast"](spark, sf_dir)), runs)
+    timings["q_pip_megacoast_native"] = _time_min(
+        lambda: _materialize(qs["q_pip_megacoast_native"](spark, sf_dir)), runs)
+    mega_bnd = spark.read.parquet(
+        os.path.join(em.MEGA_STAGE_DIR, "boundaries.parquet"))
+    mega_res = _sj._auto_cover_res(mega_bnd)
+    timings["megacoast_clip_dim_prepass"] = _time_min(
+        lambda: _materialize(_sj.clipped_cell_dim(mega_bnd, mega_res)), runs)
+
     # near-dup pair benchmarks on a FIXED 1000-doc slice: the synthetic
     # documents table repeats a tiny vocabulary, so pair density approaches
     # quadratic at larger SF — timing the full table would measure the

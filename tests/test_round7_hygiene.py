@@ -258,3 +258,78 @@ def test_flagship_auto_prefilter_plan_identity(spark, tmp_path):
     key = lambda r: (r["image_id"], r["boundary_id"])
     assert sorted(auto_rows, key=key) == sorted(fixed_rows, key=key)
     assert len(auto_rows) > 0
+
+
+def test_megacoast_fixture_invariants():
+    """600k-vertex stress fixture (round-6 verdict item 2): seeded,
+    simple-by-construction rings; hole nested inside the continent by
+    the _coast_ring radial bounds; the shelf ring genuinely crosses the
+    dateline (wide raw, narrow unwrapped)."""
+    from wikibrain_spark.geo import pip
+
+    mega = synthetic.generate_megacoast()
+    n_verts = sum(
+        len(rr["ring_lat"]) for _, r in mega.iterrows() for rr in r["rings"]
+    )
+    assert n_verts == 600_000
+    outer, hole = mega.iloc[0]["rings"]
+    ro = np.hypot(np.asarray(outer["ring_lat"]) - 20.0,
+                  np.asarray(outer["ring_lon"]) + 40.0)
+    rh = np.hypot(np.asarray(hole["ring_lat"]) - 20.0,
+                  np.asarray(hole["ring_lon"]) + 40.0)
+    assert ro.min() > rh.max()  # hole strictly nested
+    assert pip.ring_wraps(np.asarray(mega.iloc[1]["rings"][0]["ring_lon"]))
+    # deterministic across calls
+    again = synthetic.generate_megacoast()
+    np.testing.assert_array_equal(
+        np.asarray(mega.iloc[0]["rings"][0]["ring_lat"]),
+        np.asarray(again.iloc[0]["rings"][0]["ring_lat"]),
+    )
+
+
+def test_megacoast_strategies_match_numpy_kernel(spark, tmp_path):
+    """Both statistics-driven physical strategies (cogrouped clip-to-cell
+    shuffle; clipped-dim prefiltered native) agree with the reference
+    NumPy crossing-parity kernel on the 600k-vertex fixture — the
+    order-of-magnitude transport/refine parity pin the 12k coastline
+    could not give. Probes concentrate near both boundaries (including
+    hole interior and dateline seam) so every code path sees hits."""
+    from wikibrain_spark.geo import pip
+
+    mega = synthetic.generate_megacoast()
+    pq = str(tmp_path / "mega_bnd.parquet")
+    mega.to_parquet(pq, index=False)
+    bdf = spark.read.parquet(pq)
+
+    rng = np.random.default_rng(11)
+    lat = np.concatenate([
+        rng.uniform(-35.0, 75.0, 40),    # continent box (incl. hole region)
+        rng.uniform(-30.0, 10.0, 20),    # dateline shelf box
+    ])
+    shelf_lon = rng.uniform(155.0, 205.0, 20)
+    lon = np.concatenate([
+        rng.uniform(-95.0, 35.0, 40),
+        np.where(shelf_lon >= 180.0, shelf_lon - 360.0, shelf_lon),
+    ])
+    pts = pd.DataFrame({
+        "image_id": [f"m{i}" for i in range(lat.size)], "lat": lat, "lon": lon
+    })
+    pdf = spark.createDataFrame(pts)
+
+    want = set()
+    for _, r in mega.iterrows():
+        inside = pip.points_in_rings(
+            lat, lon, [(rr["ring_lat"], rr["ring_lon"]) for rr in r["rings"]]
+        )
+        want |= {(pts["image_id"].iloc[i], int(r["boundary_id"]))
+                 for i in np.flatnonzero(inside)}
+    assert want, "probe set must produce hits"
+
+    for name, fn in {
+        "shuffle": lambda: spatial_join.shuffle_pip_join(
+            pdf, bdf, hot_cell_threshold=2000, n_salt=4),
+        "native_auto": lambda: spatial_join.broadcast_pip_join_native(
+            pdf, bdf, cell_prefilter_res="auto"),
+    }.items():
+        got = {(r["image_id"], r["boundary_id"]) for r in fn().collect()}
+        assert got == want, f"{name} diverges from NumPy kernel on megacoast"

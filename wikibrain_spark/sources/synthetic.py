@@ -174,6 +174,34 @@ def generate_coastlines() -> pd.DataFrame:
     ])
 
 
+def generate_megacoast(scale: int = 1) -> pd.DataFrame:
+    """Order-of-magnitude vertex stress fixture (round-6 verdict #2):
+    the 12k-edge coastline proves the O(vertices + cells) transport at
+    10^4; real OSM admin boundaries reach 10^6 vertices, and the clip
+    prepass's per-(ring, strip) cost curve is the term only THIS size
+    exercises. ~600k vertices at scale=1 (50x the coastline fixture):
+
+    * 40 Continent — 400k-vertex outer coastline + 100k-vertex inland
+      sea hole (hole max radius 8.45 < outer min radius 9.3: nested by
+      the _coast_ring radial bounds, same construction argument as
+      Longshore).
+    * 41 Dateline Shelf — 100k-vertex dateline-crossing coastline.
+
+    scale multiplies every ring's vertex count (tests use scale to trim
+    CI cost; bench/scaling rows run scale=1). Deterministic (own seed),
+    single-valued-radius rings: simple at any vertex count."""
+    rng = np.random.default_rng(SEED + 13)
+    c_lat, c_lon = _coast_ring(20.0, -40.0, 30.0, 400_000 * scale, rng)
+    h_lat, h_lon = _coast_ring(20.0, -40.0, 5.0, 100_000 * scale, rng)
+    d_lat, d_lon = _coast_ring(-10.0, 178.0, 12.0, 100_000 * scale, rng)
+    d_lon = ((np.asarray(d_lon) + 180.0) % 360.0) - 180.0  # wrap to [-180, 180)
+    return pd.DataFrame([
+        {"boundary_id": 40, "rings": [_ring_rec(c_lat, c_lon),
+                                      _ring_rec(h_lat, h_lon, is_hole=True)]},
+        {"boundary_id": 41, "rings": [_ring_rec(d_lat, d_lon)]},
+    ])
+
+
 def coastline_edges(coast: pd.DataFrame) -> pd.DataFrame:
     """Flat edge table for the DuckDB oracle: one row per directed ring
     edge, coordinates already in each ring's TEST FRAME (a ring that is
