@@ -69,6 +69,10 @@ def main() -> None:
         ("cogroup-transport probe (same shuffle+channel, no parity)", "coast_transport_probe_sec"),
         ("clip-to-cell PIP kernel (join minus transport probe)", "coast_kernel_sec"),
         ("clipped-dim NATIVE PIP (same 20M pts, broadcast fold)", "coast_native_clip_sec"),
+        ("megacoast shuffle PIP (8M pts x 600k-vertex snapshot)", "mega_clip_sec"),
+        ("megacoast clip prepass probe (clipped-dim build alone)", "mega_prepass_probe_sec"),
+        ("megacoast refine kernel (join minus prepass probe)", "mega_kernel_sec"),
+        ("megacoast clipped-dim NATIVE PIP (same 8M pts)", "mega_native_clip_sec"),
         # NOTE: the clipped-vs-unclipped payload PAIR is deliberately absent
         # from this table — it is per-level A/B evidence (a 2M-point join
         # whose fixed costs dominate each leg), carried in the prose below;
@@ -119,6 +123,13 @@ def main() -> None:
         *(
             [f"| big-big shuffle range-join probe pts/sec | {lo['wd_shuffle_rows_per_sec']} | {hi['wd_shuffle_rows_per_sec']} |"]
             if "wd_shuffle_rows_per_sec" in lo else []
+        ),
+        *(
+            [
+                f"| megacoast shuffle PIP pts/sec | {lo['mega_clip_rows_per_sec']} | {hi['mega_clip_rows_per_sec']} |",
+                f"| megacoast native clipped-dim pts/sec | {lo['mega_native_clip_rows_per_sec']} | {hi['mega_native_clip_rows_per_sec']} |",
+            ]
+            if "mega_clip_rows_per_sec" in lo else []
         ),
         *(
             [f"| streaming ingest images/sec | {lo['ingest_rows_per_sec']} | {hi['ingest_rows_per_sec']} |"]
@@ -179,6 +190,26 @@ def main() -> None:
                 "",
             ]
             if "coast_clip_sec" in lo else []
+        ),
+        *(
+            [
+                "The MEGACOAST rows (new in round 7) push the vertex axis an",
+                "order of magnitude further: ONE 600k-vertex snapshot (400k-",
+                "vertex continent + 100k-vertex hole + 100k-vertex dateline",
+                "shelf) against 8M concentrated points. Unlike the",
+                "32-polygon coastline row, the clip prepass here parallelizes",
+                "over only 2 boundary rows, so it is a FIXED term at any core",
+                "count by construction — the prepass-probe row times exactly",
+                "that term (the clipped-dim build alone), and the KERNEL row",
+                "(join minus probe) carries the part a bigger cluster must buy",
+                "down: the per-query refine over local clipped edges. At",
+                "production scale the prepass amortizes once per snapshot",
+                "across every query; per-polygon parallelism is the remaining",
+                "axis (real boundary sets have many polygons — the coastline",
+                "row above demonstrates that distribution at 32).",
+                "",
+            ]
+            if "mega_clip_sec" in lo else []
         ),
         "At 3000 polygons (10x the 300-polygon pytest pin) the cell-prefiltered",
         "native dim is the designated configuration: on the SAME 100k-point",

@@ -381,6 +381,77 @@ def main() -> None:
         lambda: _sj.shuffle_pip_join(pts_coast_small, coast_df, clip_cover=False)
     )
 
+    # 600k-VERTEX MEGACOAST (round 7): one boundary snapshot an order of
+    # magnitude past the coastline row (400k-vertex continent + 100k-vertex
+    # hole + 100k-vertex dateline shelf) through both clipped strategies.
+    # What scales here is the REFINE (20M concentrated points x local
+    # clipped edges); the clip prepass itself is a once-per-snapshot term
+    # that parallelizes only per polygon (2 rows), so it is measured
+    # SEPARATELY (mega_prepass_probe_sec: the clipped-dim build alone) and
+    # subtracted for the kernel row — at production scale the prepass
+    # amortizes over every query against the snapshot, while the refine is
+    # the per-query cost the cluster size must actually buy down.
+    from wikibrain_spark.sources.synthetic import generate_megacoast
+
+    mega_pq = os.path.join(REPO, "data", "mega_scaling_boundaries.parquet")
+    if not os.path.exists(mega_pq):
+        generate_megacoast().to_parquet(mega_pq, index=False)
+    mega_df = spark.read.parquet(mega_pq)
+    res["mega_edges"] = 600_000
+
+    # 8M (not the coastline rows' 20M): per-point refine work is ~10x the
+    # coastline row's (boundary cells carry ~190 local edges at the
+    # vertex-heavy auto res), so 8M already puts the kernel term well
+    # above the fixed prepass at both levels without doubling the whole
+    # scaling run's wall clock
+    n_mega = 8_000_000
+    mega_pts = (
+        spark.range(n_mega)
+        .repartition(cpus * 4)
+        .select(
+            F.concat(F.lit("g"), "id").alias("image_id"),
+            F.when(
+                F.pmod(F.col("id"), F.lit(3)) < 2,
+                F.lit(20.0) + F.pmod(F.col("id") * 37, 60000) / 1000.0 - 30.0,
+            ).otherwise(
+                F.lit(-10.0) + F.pmod(F.col("id") * 37, 24000) / 1000.0 - 12.0
+            ).alias("lat"),
+            F.when(
+                F.pmod(F.col("id"), F.lit(3)) < 2,
+                F.lit(-40.0) + F.pmod(F.col("id") * 91, 60000) / 1000.0 - 30.0,
+            ).otherwise(
+                # shelf box spans the dateline: wrap [166, 190) to [-180, 180)
+                F.when(
+                    F.lit(178.0) + F.pmod(F.col("id") * 91, 24000) / 1000.0 - 12.0 >= 180.0,
+                    F.lit(178.0) + F.pmod(F.col("id") * 91, 24000) / 1000.0 - 372.0,
+                ).otherwise(
+                    F.lit(178.0) + F.pmod(F.col("id") * 91, 24000) / 1000.0 - 12.0
+                )
+            ).alias("lon"),
+        )
+        .cache()
+    )
+    mega_pts.count()
+    res["mega_points"] = n_mega
+    mega_res_auto = _sj._auto_cover_res(mega_df)
+    res["mega_prepass_probe_sec"] = timed(
+        lambda: _sj.clipped_cell_dim(mega_df, mega_res_auto)
+    )
+    res["mega_clip_sec"] = timed(lambda: _sj.shuffle_pip_join(mega_pts, mega_df))
+    res["mega_clip_rows_per_sec"] = round(n_mega / res["mega_clip_sec"], 1)
+    res["mega_kernel_sec"] = round(
+        max(res["mega_clip_sec"] - res["mega_prepass_probe_sec"], 0.001), 3
+    )
+    res["mega_native_clip_sec"] = timed(
+        lambda: _sj.broadcast_pip_join_native(
+            mega_pts, mega_df, cell_prefilter_res="auto"
+        )
+    )
+    res["mega_native_clip_rows_per_sec"] = round(
+        n_mega / res["mega_native_clip_sec"], 1
+    )
+    mega_pts.unpersist()
+
     # streaming flagship ingest at volume (round-4 verdict #4): the
     # exactly-once foreachBatch ingest (stateful dedup -> native PIP ->
     # partitioned parquet + ledger commit) over the full bench image

@@ -333,3 +333,24 @@ def test_megacoast_strategies_match_numpy_kernel(spark, tmp_path):
     }.items():
         got = {(r["image_id"], r["boundary_id"]) for r in fn().collect()}
         assert got == want, f"{name} diverges from NumPy kernel on megacoast"
+
+
+def test_vertex_heavy_auto_res_relaxation(spark, tmp_path):
+    """Round-7: a 600k-vertex snapshot earns a finer cover (the refine's
+    per-point cost is edges-per-boundary-cell, falling ~2.6x per res
+    step) — megacoast resolves to (2, clipped), one step finer than the
+    strict mean gate allows, while low-vertex snapshots keep the strict
+    gate (coastline stays (2, clipped), POLYS-sized rects stay coarse)."""
+    mega = synthetic.generate_megacoast()
+    pq = str(tmp_path / "mega.parquet")
+    mega.to_parquet(pq, index=False)
+    mdf = spark.read.parquet(pq)
+    assert spatial_join.auto_prefilter(mdf) == (2, True)
+    # strict gate would have stopped at res 1 for these spans
+    s = spatial_join._cover_stats(mdf)
+    step2 = cells.hexlite_step(2)
+    mean_cover_r2 = (s["sum_ab"] / s["n_outer"]) / step2**2 + (
+        s["sum_absum"] / s["n_outer"]
+    ) / step2 + 1.0
+    assert mean_cover_r2 > 1024.0  # relaxation is what admitted res 2
+    assert s["s_e_n"] / s["n_outer"] > 10_000.0  # and vertex weight earned it

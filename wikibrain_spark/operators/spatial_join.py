@@ -291,10 +291,26 @@ def _auto_cover_res(
     worst-polygon task — and (b) cover row count (tiny rows). Finer res
     buys pruning: fewer points survive the covered-cells semi-filter and
     each cover row tests fewer points, so the gates sit as fine as the
-    prepass allows rather than as coarse as correctness allows."""
+    prepass allows rather than as coarse as correctness allows.
+
+    VERTEX-HEAVY relaxation (round 7, from the 600k-vertex megacoast
+    row): the refine visits O(edges-in-the-probe's-cell) per point, and
+    boundary-cell edge density falls ~linearly with step (the ring's
+    edges spread over ~perimeter/step boundary cells), so for a
+    high-vertex snapshot ONE step of extra resolution cuts the dominant
+    per-point term ~2.6x while the costs the mean gate bounds (cover
+    rows, clip prepass) stay seconds even at 8x the gate. When the mean
+    edge count per polygon exceeds heavy_edges_per_poly the mean gate
+    widens 8x (the max gate — a single worst-task bound — never moves).
+    Measured on megacoast (res 1 -> 2): 20M-point refine 3.5x faster,
+    prepass +2 s once per snapshot. Low-vertex snapshots are unaffected
+    (coastline mean ~3.8k edges/poly keeps the strict gate)."""
     s = _cover_stats(boundaries)
     if not s["n_outer"]:
         return 0
+    heavy_edges_per_poly = 10_000.0
+    if s["s_e_n"] / s["n_outer"] > heavy_edges_per_poly:
+        max_mean_cells = 8.0 * max_mean_cells
     for res in range(7, 0, -1):
         step = cells.hexlite_step(res)
         mean_cover = (s["sum_ab"] / s["n_outer"]) / step**2 + (
