@@ -82,6 +82,9 @@ COAST_STAGE_DIR = os.path.join(
 MEGA_STAGE_DIR = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "data", "stage", "megacoast_edges"
 )
+SIMPLIFY_STAGE_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "data", "stage", "simplified_edges"
+)
 
 # deterministic derived coordinates (integer arithmetic -> exact in both
 # engines): events become points, nations become places
@@ -698,6 +701,76 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("boundary_id")
         )
     q["q_polygon_perimeter"] = q_polygon_perimeter
+
+    # ---- Polsby-Popper compactness (round 7): 4*pi*A/P^2 from the two
+    # geodesic folds — the boundary-QA signal pipelines filter on. Oracle
+    # re-derives BOTH folds from the staged edge table and combines;
+    # floor at 1e4 absorbs summation-order float noise.
+    def q_compactness(spark, sf):
+        bdf = _stage_area_edges(spark)
+        return (
+            spatial_join.polygon_compactness(bdf)
+            .select(
+                "boundary_id",
+                F.floor(F.col("polsby_popper") * 10000).alias("pp_e4"),
+            )
+            .orderBy("boundary_id")
+        )
+    q["q_compactness"] = q_compactness
+
+    # ---- Douglas-Peucker simplification -> PIP (round 7): the engine
+    # generalizes the 12k-edge coastline at 0.05 deg (Hausdorff-bounded;
+    # geo/simplify.py), stages the SIMPLIFIED edge table, and runs the
+    # native PIP over the simplified boundaries; the oracle re-derives
+    # crossing parity from the staged simplified edges — the same
+    # staged-signature seam as MinHash/ANN (the simplification itself is
+    # pinned by tests/test_simplify.py's tolerance-guarantee brute check).
+    def q_pip_coastline_simplified(spark, sf):
+        from wikibrain_spark.sources import synthetic
+
+        coast = synthetic.generate_coastlines()
+        bnd = spark.createDataFrame(
+            [
+                (
+                    int(r["boundary_id"]),
+                    [(rr["ring_lat"], rr["ring_lon"], rr["is_hole"]) for rr in r["rings"]],
+                )
+                for _, r in coast.iterrows()
+            ],
+            f"boundary_id long, rings {spatial_join.RINGS_TYPE}",
+        )
+        simp_rows = spatial_join.simplify_rings(bnd, 0.05).collect()
+        simp_pd = __import__("pandas").DataFrame(
+            [{"boundary_id": r["boundary_id"],
+              "rings": [{"ring_lat": list(rr["ring_lat"]),
+                         "ring_lon": list(rr["ring_lon"]),
+                         "is_hole": rr["is_hole"]} for rr in r["rings"]]}
+             for r in simp_rows]
+        )
+        os.makedirs(SIMPLIFY_STAGE_DIR, exist_ok=True)
+        synthetic.coastline_edges(simp_pd).to_parquet(
+            os.path.join(SIMPLIFY_STAGE_DIR, "edges.parquet"), index=False
+        )
+        simp_bnd = spark.createDataFrame(
+            [
+                (
+                    int(r["boundary_id"]),
+                    [(rr["ring_lat"], rr["ring_lon"], rr["is_hole"]) for rr in r["rings"]],
+                )
+                for _, r in simp_pd.iterrows()
+            ],
+            f"boundary_id long, rings {spatial_join.RINGS_TYPE}",
+        )
+        pts = _event_points(spark, sf).withColumnRenamed("event_id", "image_id")
+        pairs = spatial_join.broadcast_pip_join_native(
+            pts.select(F.col("image_id").cast("string"), "lat", "lon"),
+            simp_bnd,
+            cell_prefilter_res="auto",
+        )
+        return pairs.select(
+            F.col("image_id").cast("long").alias("event_id"), "boundary_id"
+        ).orderBy("event_id", "boundary_id")
+    q["q_pip_coastline_simplified"] = q_pip_coastline_simplified
 
     # ---- kNN (J14 distance-rank)
     def q_knn(spark, sf):
@@ -1628,6 +1701,47 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(sum({haversine_km_sql("la0", "lo0", "la1", "lo1")})
                               * 1000) AS BIGINT) AS perim_km_e3
             FROM e GROUP BY 1 ORDER BY boundary_id
+        """,
+        # Polsby-Popper from the SAME staged edge table, both folds
+        # re-derived in DuckDB (area: spherical-band sum; perimeter:
+        # haversine fold), combined as 4*pi*A/P^2 and floored at 1e4
+        "q_compactness": f"""
+            WITH e AS (SELECT * FROM read_parquet('{AREA_STAGE_DIR}/*.parquet')),
+                 rings AS (
+                   SELECT boundary_id, ring_id, any_value(is_hole) AS is_hole,
+                          abs(sum((radians(lo1) - radians(lo0))
+                                  * (2 + sin(radians(la0)) + sin(radians(la1))))) AS s
+                   FROM e GROUP BY boundary_id, ring_id),
+                 area AS (
+                   SELECT boundary_id,
+                          sum(CASE WHEN is_hole THEN -s ELSE s END)
+                          * {EARTH_RADIUS_KM**2 / 2.0!r} AS a
+                   FROM rings GROUP BY 1),
+                 perim AS (
+                   SELECT boundary_id,
+                          sum({haversine_km_sql("la0", "lo0", "la1", "lo1")}) AS p
+                   FROM e GROUP BY 1)
+            SELECT area.boundary_id,
+                   CAST(floor(4 * pi() * a / (p * p) * 10000) AS BIGINT) AS pp_e4
+            FROM area JOIN perim USING (boundary_id)
+            ORDER BY boundary_id
+        """,
+        # crossing parity over the STAGED SIMPLIFIED edges (staged-
+        # signature seam; the DP guarantee itself is pytest-pinned)
+        "q_pip_coastline_simplified": f"""
+            WITH pts AS ({events_pts}),
+                 edges AS (SELECT * FROM read_parquet('{SIMPLIFY_STAGE_DIR}/*.parquet')),
+                 hits AS (
+                   SELECT p.event_id, e.boundary_id, COUNT(*) AS n_cross
+                   FROM pts p JOIN edges e
+                     ON ((e.y0 > p.lat) <> (e.y1 > p.lat))
+                    AND (CASE WHEN e.wrapped AND p.lon < 0 THEN p.lon + 360.0 ELSE p.lon END)
+                        < (e.x1 - e.x0) * (p.lat - e.y0) / nullif(e.y1 - e.y0, 0.0) + e.x0
+                   GROUP BY 1, 2
+                 )
+            SELECT event_id, boundary_id FROM hits
+            WHERE n_cross % 2 = 1
+            ORDER BY event_id, boundary_id
         """,
         "q_knn": knn_sql,
         "q_knn_kring": knn_kring_sql,

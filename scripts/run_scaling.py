@@ -69,10 +69,11 @@ def main() -> None:
         ("cogroup-transport probe (same shuffle+channel, no parity)", "coast_transport_probe_sec"),
         ("clip-to-cell PIP kernel (join minus transport probe)", "coast_kernel_sec"),
         ("clipped-dim NATIVE PIP (same 20M pts, broadcast fold)", "coast_native_clip_sec"),
-        ("megacoast shuffle PIP (8M pts x 600k-vertex snapshot)", "mega_clip_sec"),
+        ("megacoast shuffle PIP (20M pts x 600k-vertex snapshot)", "mega_clip_sec"),
         ("megacoast clip prepass probe (clipped-dim build alone)", "mega_prepass_probe_sec"),
-        ("megacoast refine kernel (join minus prepass probe)", "mega_kernel_sec"),
-        ("megacoast clipped-dim NATIVE PIP (same 8M pts)", "mega_native_clip_sec"),
+        ("megacoast cogroup-transport probe (prepass+shuffle+channel)", "mega_transport_probe_sec"),
+        ("megacoast refine kernel (join minus transport probe)", "mega_kernel_sec"),
+        ("megacoast clipped-dim NATIVE PIP (same 20M pts)", "mega_native_clip_sec"),
         # NOTE: the clipped-vs-unclipped payload PAIR is deliberately absent
         # from this table — it is per-level A/B evidence (a 2M-point join
         # whose fixed costs dominate each leg), carried in the prose below;
@@ -196,17 +197,24 @@ def main() -> None:
                 "The MEGACOAST rows (new in round 7) push the vertex axis an",
                 "order of magnitude further: ONE 600k-vertex snapshot (400k-",
                 "vertex continent + 100k-vertex hole + 100k-vertex dateline",
-                "shelf) against 8M concentrated points. Unlike the",
+                "shelf) against 20M concentrated points. Unlike the",
                 "32-polygon coastline row, the clip prepass here parallelizes",
                 "over only 2 boundary rows, so it is a FIXED term at any core",
-                "count by construction — the prepass-probe row times exactly",
-                "that term (the clipped-dim build alone), and the KERNEL row",
-                "(join minus probe) carries the part a bigger cluster must buy",
-                "down: the per-query refine over local clipped edges. At",
-                "production scale the prepass amortizes once per snapshot",
-                "across every query; per-polygon parallelism is the remaining",
-                "axis (real boundary sets have many polygons — the coastline",
-                "row above demonstrates that distribution at 32).",
+                "count by construction — the prepass-probe row times the",
+                "clipped-dim build alone, and the cogroup-transport probe",
+                "(coast-row methodology: identical semi-filter, clip prepass,",
+                "bucket shuffle, and per-group Arrow materialization with the",
+                "parity kernel replaced by a count) captures ALL the",
+                "by-construction-fixed terms, including the single-JVM Arrow",
+                "channel ceiling the standalone channel probe documents. The",
+                "KERNEL row (join minus transport probe) is the term a bigger",
+                "cluster must actually buy down: the per-query refine over",
+                "local clipped edges. At production scale the prepass",
+                "amortizes once per snapshot across every query, per-executor",
+                "Arrow channels replace the single socket, and per-polygon",
+                "parallelism is the remaining axis (real boundary sets have",
+                "many polygons — the coastline row demonstrates that",
+                "distribution at 32).",
                 "",
             ]
             if "mega_clip_sec" in lo else []

@@ -399,12 +399,10 @@ def main() -> None:
     mega_df = spark.read.parquet(mega_pq)
     res["mega_edges"] = 600_000
 
-    # 8M (not the coastline rows' 20M): per-point refine work is ~10x the
-    # coastline row's (boundary cells carry ~190 local edges at the
-    # vertex-heavy auto res), so 8M already puts the kernel term well
-    # above the fixed prepass at both levels without doubling the whole
-    # scaling run's wall clock
-    n_mega = 8_000_000
+    n_mega = n_pref  # the 20M-point convention: per-point refine work is
+    # ~10x the coastline row's (boundary cells carry ~190 local edges at
+    # the vertex-heavy auto res), so at 20M the kernel term dominates the
+    # by-construction-fixed transport at both levels
     mega_pts = (
         spark.range(n_mega)
         .repartition(cpus * 4)
@@ -439,8 +437,35 @@ def main() -> None:
     )
     res["mega_clip_sec"] = timed(lambda: _sj.shuffle_pip_join(mega_pts, mega_df))
     res["mega_clip_rows_per_sec"] = round(n_mega / res["mega_clip_sec"], 1)
+
+    # cogroup-transport probe, SAME methodology as the coast row: the
+    # identical covered-points semi-filter, clip prepass (via
+    # clipped_cover_frame — the exact cover side the join cogroups
+    # against), bucket shuffle, and per-group Arrow materialization, with
+    # the parity kernel replaced by a count. With only 2 boundary rows the
+    # prepass AND the single-JVM channel term are fixed by construction;
+    # the kernel row (join minus probe) is the term cores must buy down.
+    mega_cov = _sj.clipped_cover_frame(mega_df, mega_res_auto)
+    mega_nb = 4 * cpus
+    mega_bucket = F.pmod(F.xxhash64(F.col("cell")), F.lit(mega_nb)).cast("int")
+    mega_bbox_cov = _sj.polygon_cover(mega_df, mega_res_auto)
+    mega_pts_bkt = (
+        mega_pts.select(
+            "image_id", "lat", "lon",
+            _cells.hexlite_cell_col(F.col("lat"), F.col("lon"), mega_res_auto).alias("cell"),
+        )
+        .join(F.broadcast(mega_bbox_cov.select("cell")), "cell", "left_semi")
+        .withColumn("bucket", mega_bucket)
+    )
+    mega_cov_bkt = mega_cov.withColumn("bucket", mega_bucket)
+    res["mega_transport_probe_sec"] = timed(
+        lambda: mega_pts_bkt.repartition(cpus * 2, "bucket")
+        .groupBy("bucket")
+        .cogroup(mega_cov_bkt.repartition(cpus * 2, "bucket").groupBy("bucket"))
+        .applyInPandas(_count_refine, schema="n long")
+    )
     res["mega_kernel_sec"] = round(
-        max(res["mega_clip_sec"] - res["mega_prepass_probe_sec"], 0.001), 3
+        max(res["mega_clip_sec"] - res["mega_transport_probe_sec"], 0.001), 3
     )
     res["mega_native_clip_sec"] = timed(
         lambda: _sj.broadcast_pip_join_native(

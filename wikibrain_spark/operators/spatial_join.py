@@ -30,6 +30,7 @@ only the exploded polygon side when bucketing is aligned.
 
 from __future__ import annotations
 
+import math
 from collections import OrderedDict
 from collections.abc import Iterator
 
@@ -628,6 +629,84 @@ def polygon_perimeter_km(boundaries: DataFrame) -> DataFrame:
     )
 
 
+def clipped_cover_frame(boundaries: DataFrame, res: int) -> DataFrame:
+    """(boundary_id, cell, geom array<double>): the clip-to-cell cover the
+    shuffle strategy cogroups against — each covered cell carries only the
+    polygon geometry CLIPPED to its window, packed flat for the Arrow
+    channel (geo/clip.py pack_pieces wire format). Extracted from
+    shuffle_pip_join so the scaling harness can build its
+    cogroup-transport probe from the IDENTICAL cover side (same prepass,
+    same shuffle, parity kernel removed)."""
+    from wikibrain_spark.geo import clip as _clip
+
+    def cover_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            for bid, rings in zip(b["boundary_id"], b["rings"]):
+                pieces = _clip.clipped_cell_cover(
+                    [(r["ring_lat"], r["ring_lon"]) for r in rings], res
+                )
+                if not pieces:
+                    continue
+                ids = list(pieces)
+                yield pd.DataFrame({
+                    "boundary_id": np.full(len(ids), bid, dtype=np.int64),
+                    "cell": np.array(ids, dtype=np.int64),
+                    "geom": [_clip.pack_pieces(pieces[c]) for c in ids],
+                })
+
+    return normalize_rings(boundaries).select("boundary_id", "rings").mapInPandas(
+        cover_fn, schema="boundary_id long, cell long, geom array<double>"
+    )
+
+
+def polygon_compactness(boundaries: DataFrame) -> DataFrame:
+    """(boundary_id, area_km2, perimeter_km, polsby_popper): the standard
+    compactness QA signal 4*pi*A/P^2 (1.0 = a circle; gerrymander-style
+    filaments -> 0) from the two geodesic folds above, joined on the tiny
+    per-boundary aggregates. Inherits the documented pole-closure
+    perimeter convention (COVERAGE.md delta 5): pole-cap polygons score
+    less compact because their synthetic meridian closure edges count as
+    boundary length."""
+    a = polygon_area_km2(boundaries)
+    p = polygon_perimeter_km(boundaries)
+    return a.join(p, "boundary_id").select(
+        "boundary_id",
+        "area_km2",
+        "perimeter_km",
+        (
+            F.lit(4.0 * math.pi) * F.col("area_km2")
+            / (F.col("perimeter_km") * F.col("perimeter_km"))
+        ).alias("polsby_popper"),
+    )
+
+
+def simplify_rings(boundaries: DataFrame, tolerance_deg: float) -> DataFrame:
+    """Douglas-Peucker boundary generalization: same rings schema out,
+    every ring a Hausdorff-(<= tolerance_deg) approximation of the
+    original (geo/simplify.py has the guarantee and the caveats — the
+    operator is APPROXIMATE by design; containment within tolerance of a
+    boundary can flip). Once-per-snapshot dim prepass, embarrassingly
+    parallel per polygon — the same cost position as the clip prepass it
+    feeds: simplifying a 600k-vertex snapshot before clipped_cell_dim /
+    shuffle_pip_join shrinks every vertex-linear term downstream by the
+    reduction factor."""
+    from wikibrain_spark.geo import simplify as _simp
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            yield pd.DataFrame({
+                "boundary_id": b["boundary_id"].astype("int64"),
+                "rings": [
+                    _simp.simplify_rings_pd(rings, tolerance_deg)
+                    for rings in b["rings"]
+                ],
+            })
+
+    return normalize_rings(boundaries).mapInPandas(
+        fn, schema=f"boundary_id long, rings {RINGS_TYPE}"
+    )
+
+
 def candidate_cell_dim(boundaries: DataFrame, res: int) -> DataFrame:
     """(cell, polys array<struct>) — per-cell polygon candidate subsets for
     the prefiltered native strategy (and the scaling harness's copy probe)."""
@@ -946,26 +1025,7 @@ def shuffle_pip_join(
     hot = _sampled_hot_cells(pts, "cell", hot_cell_threshold, n_salt, hotness_sample_fraction)
 
     if clip_cover:
-        from wikibrain_spark.geo import clip as _clip
-
-        def cover_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for b in batches:
-                for bid, rings in zip(b["boundary_id"], b["rings"]):
-                    pieces = _clip.clipped_cell_cover(
-                        [(r["ring_lat"], r["ring_lon"]) for r in rings], res
-                    )
-                    if not pieces:
-                        continue
-                    ids = list(pieces)
-                    yield pd.DataFrame({
-                        "boundary_id": np.full(len(ids), bid, dtype=np.int64),
-                        "cell": np.array(ids, dtype=np.int64),
-                        "geom": [_clip.pack_pieces(pieces[c]) for c in ids],
-                    })
-
-        cover = normalize_rings(boundaries).select("boundary_id", "rings").mapInPandas(
-            cover_fn, schema="boundary_id long, cell long, geom array<double>"
-        )
+        cover = clipped_cover_frame(boundaries, res)
     else:
         # full geometry carried through the explode — no attach join;
         # packed flat for the cogroup Arrow channel (see pack_rings_col)
