@@ -207,14 +207,32 @@ def main() -> None:
                 "parity kernel replaced by a count) captures ALL the",
                 "by-construction-fixed terms, including the single-JVM Arrow",
                 "channel ceiling the standalone channel probe documents. The",
-                "KERNEL row (join minus transport probe) is the term a bigger",
-                "cluster must actually buy down: the per-query refine over",
-                "local clipped edges. At production scale the prepass",
-                "amortizes once per snapshot across every query, per-executor",
-                "Arrow channels replace the single socket, and per-polygon",
-                "parallelism is the remaining axis (real boundary sets have",
-                "many polygons — the coastline row demonstrates that",
-                "distribution at 32).",
+                "KERNEL row (join minus transport probe) is the residual the",
+                "probe's count-refine cannot reproduce: the per-group pandas",
+                "materialization of 20M point rows PLUS the parity merge and",
+                "the pair-output channel — read it against the Arrow-channel",
+                "probe's signature "
+                + (
+                    f"({(lo['mega_kernel_sec'] / hi['mega_kernel_sec'] / ratio):.2f} vs"
+                    f" {(lo['channel_probe_sec'] / hi['channel_probe_sec'] / ratio):.2f} this run):"
+                    if "mega_kernel_sec" in lo else ":"
+                ),
+                "at 20M concentrated points through ONE shared JVM the row is",
+                "channel-bound end to end, the same single-socket artifact",
+                "every mapInPandas row in this file documents. The engine",
+                "term that is NOT an artifact — the refine's NumPy crossing",
+                "parity — is ~4e9 edge tests here, seconds of compute that",
+                "the probe pair brackets. On a real cluster each executor",
+                "owns its Arrow channel (the term scales with executors), the",
+                "prepass amortizes once per snapshot across every query, and",
+                "per-polygon parallelism is the remaining axis (real boundary",
+                "sets have many polygons — the coastline row demonstrates",
+                "that distribution at 32). The broadcast answer for THIS",
+                "snapshot shape is the clipped-dim NATIVE row directly above:",
+                "zero Python on the points side, and it is what",
+                "auto_prefilter actually selects for megacoast — measured",
+                "0.84 in BOTH round-7 pairs, the stable scaling story for",
+                "the 600k-vertex axis.",
                 "",
             ]
             if "mega_clip_sec" in lo else []
@@ -297,6 +315,16 @@ def main() -> None:
         "the 64-file / 32-per-trigger layout let every batch's scan use",
         "the cores (round-5 verdict #4 — the row now clears the 0.8 gate",
         "with the crash+resume invariant intact).",
+        "Round 7 ran two full pairs: gate carrier 0.836 then 0.998,",
+        "prefiltered flagship 0.803 then 0.983, decode 0.877 then 0.906,",
+        "ingest 0.763 then 0.877, megacoast NATIVE 0.840 then 0.837 (the",
+        "most stable new row). The cogroup-shuffle rows are the",
+        "cache-sensitive ones this round: coast clip measured 0.844 then",
+        "0.507 and its kernel 1.027 then 0.482 — the IDENTICAL code's",
+        "local[4] leg ran 26.5 s in the first pair and 15.2 s in the",
+        "second while both local[16] legs agreed (7.8 / 7.5 s), so the",
+        "efficiency swing is a fast-denominator artifact of local[4]",
+        "page-cache state, not an engine change; both samples recorded.",
         "The tables below are the latest full run, unmodified.",
         "",
         "Reading the numbers: compute-bound jobs (full image decode; the",
