@@ -125,3 +125,92 @@ def test_apply_changes_matches_spec(spark, tags, changes):
     assert row["prereq_ok"] == ok_spec
     if ok_spec:
         assert dict(row["new_tags"]) == tags_spec
+
+
+def _star_ring(seed: int, c_lat: float, c_lon: float, base_r: float, n: int):
+    """Random simple ring (single-valued radius construction, same
+    argument as the synthetic coastline fixtures), wrapped to
+    [-180, 180) so dateline-crossing cases occur whenever the center
+    sits near ±180."""
+    rng = np.random.default_rng(seed)
+    ang = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    r = np.ones(n)
+    for k, octave in enumerate((3, 7, 13)):
+        r += (0.25 / (k + 1)) * np.sin(octave * ang + rng.uniform(0, 2 * np.pi))
+    r = base_r * np.clip(r, 0.25, None)
+    la = c_lat + r * np.sin(ang)
+    lo = ((c_lon + r * np.cos(ang) + 180.0) % 360.0) - 180.0
+    return la, lo
+
+
+def _piece_parity(pieces_for_cell: list, lat: float, lon: float) -> bool:
+    """Crossing parity over one cell's clipped pieces — the refine rule
+    restated independently (same ray test as the DuckDB oracles)."""
+    inside = False
+    for ys, xs, unwrap_probe in pieces_for_cell:
+        x = lon + 360.0 if (unwrap_probe and lon < 0.0) else lon
+        y0, x0 = ys, xs
+        y1, x1 = np.roll(ys, -1), np.roll(xs, -1)
+        crossing = (y0 > lat) != (y1 > lat)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xi = (x1 - x0) * (lat - y0) / (y1 - y0) + x0
+        inside ^= bool(int(np.sum(crossing & (x < xi))) % 2)
+    return inside
+
+
+@given(st.integers(min_value=0, max_value=2**31), st.integers(min_value=1, max_value=3),
+       st.floats(min_value=-55.0, max_value=55.0),
+       st.floats(min_value=-180.0, max_value=179.9),
+       st.floats(min_value=2.0, max_value=14.0))
+@settings(max_examples=40, deadline=None)
+def test_clipped_cover_parity_matches_pip_kernel(seed, res, c_lat, c_lon, base_r):
+    """Round-7 net over the round-6 lead surface: for a random simple
+    ring (dateline-crossing whenever the center lands near ±180) at a
+    random resolution, the per-cell CLIPPED pieces must reproduce the
+    reference crossing parity for every probe — probe's cell absent
+    from the cover => outside; present => piece-parity XOR. This is the
+    invariant the cogrouped shuffle refine rests on (geo/clip.py's
+    parity-preservation argument), checked end-to-end through
+    clipped_cell_cover rather than through any Spark plan."""
+    from wikibrain_spark.geo import cells as _cells
+    from wikibrain_spark.geo import clip as _clip
+
+    la, lo = _star_ring(seed, c_lat, c_lon, base_r, 160)
+    pieces = _clip.clipped_cell_cover([(la, lo)], res)
+
+    rng = np.random.default_rng(seed + 1)
+    p_lat = np.clip(c_lat + rng.uniform(-1.8, 1.8, 60) * base_r, -89.9, 89.9)
+    p_lon = ((c_lon + rng.uniform(-1.8, 1.8, 60) * base_r + 180.0) % 360.0) - 180.0
+    want = pip.points_in_rings(p_lat, p_lon, [(la, lo)])
+    cell_ids = _cells.hexlite_cell(p_lat, p_lon, res)
+    for i in range(p_lat.size):
+        got = _piece_parity(pieces.get(int(cell_ids[i]), []), float(p_lat[i]), float(p_lon[i]))
+        assert got == bool(want[i]), (
+            f"clip parity diverges at probe ({p_lat[i]}, {p_lon[i]}) res {res}"
+        )
+
+
+@given(st.integers(min_value=0, max_value=2**31),
+       st.floats(min_value=-55.0, max_value=55.0),
+       st.floats(min_value=-180.0, max_value=179.9),
+       st.floats(min_value=1e-3, max_value=1.0))
+@settings(max_examples=60, deadline=None)
+def test_dp_simplify_hausdorff_guarantee_property(seed, c_lat, c_lon, tol):
+    """Segment-distance Douglas-Peucker guarantee on random simple
+    rings: every ORIGINAL vertex within tol of the simplified closed
+    chain; kept vertices are a >=3-subset in original order."""
+    from wikibrain_spark.geo import simplify as _simp
+
+    la, lo = _star_ring(seed, c_lat, c_lon, 8.0, 200)
+    xs = pip.unwrap_lon(lo) if pip.ring_wraps(lo) else lo
+    sy, sx = _simp.dp_simplify_ring(la, xs, tol)
+    assert sy.size >= 3
+    y1, x1 = np.roll(sy, -1), np.roll(sx, -1)
+    dy, dx = y1 - sy, x1 - sx
+    l2 = dy * dy + dx * dx
+    my = la[:, None] - sy[None, :]
+    mx = xs[:, None] - sx[None, :]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        t = np.clip(np.where(l2 > 0, (my * dy + mx * dx) / l2, 0.0), 0.0, 1.0)
+    d2 = ((my - t * dy) ** 2 + (mx - t * dx) ** 2).min(axis=1)
+    assert float(np.sqrt(d2.max())) <= tol + 1e-9
