@@ -178,3 +178,18 @@ def test_clipped_dim_native_plan_points_side_pure(spark):
     bx = plan.find("BroadcastExchange")
     assert plan.find("MapInPandas") > bx
     assert plan.replace("BroadcastExchange", "BX").find("Exchange") > bx
+
+
+def test_compactness_single_pass_no_join(spark):
+    """polygon_compactness (round 7) computes both geodesic folds in ONE
+    projection over the dim — a self-join of the two per-boundary
+    aggregates would shuffle at millions of boundaries for nothing."""
+    from wikibrain_spark.operators import spatial_join
+
+    bdf = spark.createDataFrame(
+        [(1, [{"ring_lat": [0.0, 0.0, 5.0, 5.0],
+               "ring_lon": [0.0, 5.0, 5.0, 0.0], "is_hole": False}])],
+        f"boundary_id long, rings {spatial_join.RINGS_TYPE}",
+    )
+    plan = spatial_join.polygon_compactness(bdf)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Exchange" not in plan

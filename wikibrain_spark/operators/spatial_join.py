@@ -36,7 +36,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from wikibrain_spark.geo import cells, pip
@@ -563,6 +563,15 @@ def polygon_area_km2(boundaries: DataFrame) -> DataFrame:
     of the reference's P2046 'area exists' skip condition
     (wikimedia_link_issue_reporter.py:1880-1895): there the area is a
     Wikidata claim; here it is derivable from the geometry itself."""
+    return normalize_rings(boundaries).select(
+        "boundary_id", _area_km2_col().alias("area_km2")
+    )
+
+
+def _area_km2_col() -> Column:
+    """The polygon_area_km2 fold as a reusable Column over `rings` —
+    shared with polygon_compactness so combined QA signals come from ONE
+    pass over the dim (no self-join of two aggregates)."""
     from wikibrain_spark.geo.geodesic import EARTH_RADIUS_KM
 
     def ring_area(r):
@@ -587,11 +596,8 @@ def polygon_area_km2(boundaries: DataFrame) -> DataFrame:
         sign = F.when(r["is_hole"], F.lit(-1.0)).otherwise(F.lit(1.0))
         return sign * F.abs(signed) * F.lit(EARTH_RADIUS_KM**2 / 2.0)
 
-    return normalize_rings(boundaries).select(
-        "boundary_id",
-        F.aggregate(
-            F.transform(F.col("rings"), ring_area), F.lit(0.0), lambda a, x: a + x
-        ).alias("area_km2"),
+    return F.aggregate(
+        F.transform(F.col("rings"), ring_area), F.lit(0.0), lambda a, x: a + x
     )
 
 
@@ -604,6 +610,14 @@ def polygon_perimeter_km(boundaries: DataFrame) -> DataFrame:
     unwrap. Together with polygon_area_km2 this gives the standard
     compactness QA signals (e.g. Polsby-Popper 4*pi*A/P^2) a boundary
     pipeline filters on."""
+    return normalize_rings(boundaries).select(
+        "boundary_id", _perimeter_km_col().alias("perimeter_km")
+    )
+
+
+def _perimeter_km_col() -> Column:
+    """The polygon_perimeter_km fold as a reusable Column over `rings`
+    (see _area_km2_col)."""
     from wikibrain_spark.geo.geodesic import haversine_km_col
 
     def ring_len(r):
@@ -621,11 +635,8 @@ def polygon_perimeter_km(boundaries: DataFrame) -> DataFrame:
             ),
         )
 
-    return normalize_rings(boundaries).select(
-        "boundary_id",
-        F.aggregate(
-            F.transform(F.col("rings"), ring_len), F.lit(0.0), lambda a, x: a + x
-        ).alias("perimeter_km"),
+    return F.aggregate(
+        F.transform(F.col("rings"), ring_len), F.lit(0.0), lambda a, x: a + x
     )
 
 
@@ -662,21 +673,29 @@ def clipped_cover_frame(boundaries: DataFrame, res: int) -> DataFrame:
 def polygon_compactness(boundaries: DataFrame) -> DataFrame:
     """(boundary_id, area_km2, perimeter_km, polsby_popper): the standard
     compactness QA signal 4*pi*A/P^2 (1.0 = a circle; gerrymander-style
-    filaments -> 0) from the two geodesic folds above, joined on the tiny
-    per-boundary aggregates. Inherits the documented pole-closure
-    perimeter convention (COVERAGE.md delta 5): pole-cap polygons score
-    less compact because their synthetic meridian closure edges count as
-    boundary length."""
-    a = polygon_area_km2(boundaries)
-    p = polygon_perimeter_km(boundaries)
-    return a.join(p, "boundary_id").select(
-        "boundary_id",
-        "area_km2",
-        "perimeter_km",
-        (
-            F.lit(4.0 * math.pi) * F.col("area_km2")
-            / (F.col("perimeter_km") * F.col("perimeter_km"))
-        ).alias("polsby_popper"),
+    filaments -> 0). Both geodesic folds are computed in ONE pass over
+    the normalized dim (shared _area_km2_col/_perimeter_km_col Columns) —
+    a self-join of the two per-boundary aggregates would shuffle at
+    millions of boundaries for no reason. Inherits the documented
+    pole-closure perimeter convention (COVERAGE.md delta 5): pole-cap
+    polygons score less compact because their synthetic meridian closure
+    edges count as boundary length."""
+    return (
+        normalize_rings(boundaries)
+        .select(
+            "boundary_id",
+            _area_km2_col().alias("area_km2"),
+            _perimeter_km_col().alias("perimeter_km"),
+        )
+        .select(
+            "boundary_id",
+            "area_km2",
+            "perimeter_km",
+            (
+                F.lit(4.0 * math.pi) * F.col("area_km2")
+                / (F.col("perimeter_km") * F.col("perimeter_km"))
+            ).alias("polsby_popper"),
+        )
     )
 
 
