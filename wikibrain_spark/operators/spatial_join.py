@@ -400,6 +400,34 @@ def _unwrap_lon_col(ring_lon, wrapped):
     ).otherwise(ring_lon)
 
 
+def _staged_rings_col(rings):
+    """Per-ring test-frame geometry MATERIALIZED ONCE (round 8, guide §1/§4
+    'per-task work'): array<struct<la, ulo, w, is_hole>> where `ulo` is the
+    ring's lons in its own test frame (unwrapped iff the ring crosses the
+    dateline) and `w` the wrap flag.
+
+    Why this exists: higher-order-function lambdas are interpreted, and an
+    expression like element_at(_unwrap_lon_col(r.ring_lon, ...), i) nested
+    inside a per-edge/per-strip lambda re-evaluates the WHOLE O(vertices)
+    unwrap transform on every lambda invocation — O(edges x vertices) (the
+    structs build) / O(strips x vertices) (the cover enumeration) element
+    evals. polygon_cover on the 600k-vertex megacoast measured 12-13 s of
+    pure interpreted re-evaluation this way (vs 0.14 s for the scan).
+    Staging the derived array once per ring makes every later reference an
+    O(1) field access on a materialized value. Values are bit-identical:
+    the staged expressions are exactly the previous inline subtrees."""
+    def stage(r):
+        w = _ring_wraps_col(r["ring_lon"])
+        return F.struct(
+            r["ring_lat"].alias("la"),
+            _unwrap_lon_col(r["ring_lon"], w).alias("ulo"),
+            w.alias("w"),
+            r["is_hole"].alias("is_hole"),
+        )
+
+    return F.transform(rings, stage)
+
+
 def broadcast_pip_join_native(
     points: DataFrame,
     boundaries: DataFrame,
@@ -506,12 +534,16 @@ def polygon_structs(boundaries: DataFrame) -> DataFrame:
     bounds in the ring's own frame with a `w` (wrapped) flag. edges: the
     flat even-odd edge list over ALL rings, each edge tagged with its
     ring's frame — parity composes per ring, so edges of differently-
-    framed rings (a Fiji-style multipolygon) coexist in one fold."""
+    framed rings (a Fiji-style multipolygon) coexist in one fold.
 
-    def ring_edges(r):
-        la, lo = r["ring_lat"], r["ring_lon"]
-        wrapped = _ring_wraps_col(lo)
-        ulo = _unwrap_lon_col(lo, wrapped)
+    Round 8: the per-ring test-frame arrays are STAGED once
+    (_staged_rings_col, a separate projection so CollapseProject cannot
+    re-inline it) — the previous per-edge lambda re-evaluated the
+    O(vertices) unwrap transform per edge index, an O(vertices^2)
+    interpreted blowup on high-vertex rings."""
+
+    def ring_edges(s):
+        la, ulo = s["la"], s["ulo"]
         n = F.size(la)
         return F.transform(
             F.sequence(F.lit(0), n - 1),
@@ -520,28 +552,29 @@ def polygon_structs(boundaries: DataFrame) -> DataFrame:
                 F.element_at(ulo, i + 1).alias("x0"),
                 F.element_at(la, F.pmod(i + 1, n) + 1).alias("y1"),
                 F.element_at(ulo, F.pmod(i + 1, n) + 1).alias("x1"),
-                wrapped.alias("w"),
+                s["w"].alias("w"),
             ),
         )
 
-    def ring_box(r):
-        wrapped = _ring_wraps_col(r["ring_lon"])
-        ulo = _unwrap_lon_col(r["ring_lon"], wrapped)
+    def ring_box(s):
         return F.struct(
-            F.array_min(r["ring_lat"]).alias("lat_min"),
-            F.array_max(r["ring_lat"]).alias("lat_max"),
-            F.array_min(ulo).alias("lon_min"),
-            F.array_max(ulo).alias("lon_max"),
-            wrapped.alias("w"),
+            F.array_min(s["la"]).alias("lat_min"),
+            F.array_max(s["la"]).alias("lat_max"),
+            F.array_min(s["ulo"]).alias("lon_min"),
+            F.array_max(s["ulo"]).alias("lon_max"),
+            s["w"].alias("w"),
         )
 
-    rings = F.col("rings")
-    return normalize_rings(boundaries).select(
+    staged = normalize_rings(boundaries).select(
+        "boundary_id", _staged_rings_col(F.col("rings")).alias("_rs")
+    )
+    rs = F.col("_rs")
+    return staged.select(
         "boundary_id",
         F.struct(
             F.col("boundary_id").alias("bid"),
-            F.transform(F.filter(rings, lambda r: ~r["is_hole"]), ring_box).alias("boxes"),
-            F.flatten(F.transform(rings, ring_edges)).alias("edges"),
+            F.transform(F.filter(rs, lambda s: ~s["is_hole"]), ring_box).alias("boxes"),
+            F.flatten(F.transform(rs, ring_edges)).alias("edges"),
         ).alias("p"),
     )
 
@@ -867,13 +900,40 @@ def polygon_cover(
     n_lat, n_lon = cells.hexlite_dims(res)
     hdr = (cells.HEXLITE_MODE << 60) | (res << 56)
 
-    def ring_cells(r):
-        wrapped = _ring_wraps_col(r["ring_lon"])
-        ulo = _unwrap_lon_col(r["ring_lon"], wrapped)
-        la_min, la_max = F.array_min(r["ring_lat"]), F.array_max(r["ring_lat"])
-        lo_min, lo_max = F.array_min(ulo), F.array_max(ulo)
-        i0 = F.greatest(F.lit(0).cast("long"), F.floor((la_min + F.lit(90.0)) / F.lit(step)))
-        i1 = F.least(F.lit(n_lat - 1).cast("long"), F.floor((la_max + F.lit(90.0)) / F.lit(step)))
+    # Round 8: the enumeration is a THREE-LEVEL staged expression. Level 1
+    # reduces each outer ring to its bbox scalars (the only O(vertices)
+    # work — the unwrap pass runs once per ring, and only when the raw
+    # span can wrap); level 2 materializes each ring's (i0, i1, cols) so
+    # the per-strip lambda references a PRE-BUILT column array; level 3
+    # assembles ids from scalars. The previous single-lambda form
+    # re-evaluated the whole unwrap transform + column construction once
+    # PER LATITUDE STRIP (HOF lambdas are interpreted, with no common-
+    # subexpression reuse): O(strips x vertices) element evals — measured
+    # 12-13 s on the 600k-vertex megacoast dim where the scan itself is
+    # 0.14 s. Emitted ids are bit-identical (same formulas, same order).
+    def ring_bbox(r):
+        la, lo = r["ring_lat"], r["ring_lon"]
+        raw_min, raw_max = F.array_min(lo), F.array_max(lo)
+        can_wrap = raw_max - raw_min > F.lit(180.0)
+        u = F.transform(lo, lambda x: F.when(x < 0, x + F.lit(360.0)).otherwise(x))
+        return F.struct(
+            F.array_min(la).alias("la_min"),
+            F.array_max(la).alias("la_max"),
+            raw_min.alias("raw_min"),
+            raw_max.alias("raw_max"),
+            F.when(can_wrap, F.array_min(u)).alias("u_min"),
+            F.when(can_wrap, F.array_max(u)).alias("u_max"),
+        )
+
+    def ring_ranges(m):
+        # same wrap rule as _ring_wraps_col, from the staged scalars
+        w = (m["raw_max"] - m["raw_min"] > F.lit(180.0)) & (
+            m["u_max"] - m["u_min"] <= F.lit(180.0)
+        )
+        lo_min = F.when(w, m["u_min"]).otherwise(m["raw_min"])
+        lo_max = F.when(w, m["u_max"]).otherwise(m["raw_max"])
+        i0 = F.greatest(F.lit(0).cast("long"), F.floor((m["la_min"] + F.lit(90.0)) / F.lit(step)))
+        i1 = F.least(F.lit(n_lat - 1).cast("long"), F.floor((m["la_max"] + F.lit(90.0)) / F.lit(step)))
         # two-branch probe-formula column enumeration (mirrors
         # hexlite_cover_bbox bit-for-bit; see its docstring for why
         # index-modular wrapping mislocates raw-negative columns at odd
@@ -901,17 +961,24 @@ def polygon_cover(
             F.when(lo_min < F.lit(180.0), F.sequence(ja0, ja1)).otherwise(empty),
             F.when(lo_max >= F.lit(180.0), F.sequence(jb0, jb1)).otherwise(empty),
         )
+        return F.struct(i0.alias("i0"), i1.alias("i1"), cols.alias("cols"))
+
+    def ring_cells(rng):
         return F.flatten(F.transform(
-            F.sequence(i0, i1),
+            F.sequence(rng["i0"], rng["i1"]),
             lambda i: F.transform(
-                cols,
+                rng["cols"],
                 lambda j: F.lit(hdr).bitwiseOR(F.shiftleft(i, 28)).bitwiseOR(j),
             ),
         ))
 
-    covered = F.array_distinct(F.flatten(
-        F.transform(F.filter(F.col("rings"), lambda r: ~r["is_hole"]), ring_cells)
-    ))
+    covered = F.array_distinct(F.flatten(F.transform(
+        F.transform(
+            F.transform(F.filter(F.col("rings"), lambda r: ~r["is_hole"]), ring_bbox),
+            ring_ranges,
+        ),
+        ring_cells,
+    )))
     # with_rings carries the geometry THROUGH the explode (narrow op) so a
     # consumer needing (cell, rings) rows pays no attach join — the shuffle
     # PIP strategy keys its cogroup on this directly (one rings copy per
