@@ -202,22 +202,43 @@ def _cover_stats(boundaries: DataFrame) -> dict:
         _COVER_STATS_CACHE.move_to_end(key)
         return _COVER_STATS_CACHE[key]
     r = F.col("r")
-    w = _ring_wraps_col(r["ring_lon"])
-    ulo = _unwrap_lon_col(r["ring_lon"], w)
-    outer = (~r["is_hole"]).cast("double")
-    a = F.array_max(r["ring_lat"]) - F.array_min(r["ring_lat"])
-    b = F.array_max(ulo) - F.array_min(ulo)
-    per_poly = (
+    # round 8: stage the per-ring bbox scalars in one projection so the
+    # unwrap transform runs at most twice per ring (u_min/u_max, gated on
+    # the raw span) instead of ~6 inlined copies — same staging discipline
+    # as polygon_cover; the emitted statistics are bit-identical
+    raw_min, raw_max = F.array_min(r["ring_lon"]), F.array_max(r["ring_lon"])
+    can_wrap = raw_max - raw_min > F.lit(180.0)
+    u = F.transform(r["ring_lon"], lambda x: F.when(x < 0, x + F.lit(360.0)).otherwise(x))
+    staged = (
         normalize_rings(boundaries)
         .select("boundary_id", F.explode("rings").alias("r"))
+        .select(
+            "boundary_id",
+            r["is_hole"].alias("is_hole"),
+            F.size(r["ring_lat"]).cast("double").alias("edges"),
+            (F.array_max(r["ring_lat"]) - F.array_min(r["ring_lat"])).alias("a"),
+            raw_min.alias("raw_min"),
+            raw_max.alias("raw_max"),
+            F.when(can_wrap, F.array_min(u)).alias("u_min"),
+            F.when(can_wrap, F.array_max(u)).alias("u_max"),
+        )
+    )
+    w = (F.col("raw_max") - F.col("raw_min") > F.lit(180.0)) & (
+        F.col("u_max") - F.col("u_min") <= F.lit(180.0)
+    )
+    outer = (~F.col("is_hole")).cast("double")
+    a = F.col("a")
+    b = F.when(w, F.col("u_max") - F.col("u_min")).otherwise(F.col("raw_max") - F.col("raw_min"))
+    per_poly = (
+        staged
         .select(
             "boundary_id",
             (outer * a * b).alias("ab"),
             (outer * (a + b)).alias("absum"),
             outer.alias("n_outer"),
-            F.when(~r["is_hole"], a * b).alias("ab_or_null"),
-            F.when(~r["is_hole"], a + b).alias("absum_or_null"),
-            F.size(r["ring_lat"]).cast("double").alias("edges"),
+            F.when(~F.col("is_hole"), a * b).alias("ab_or_null"),
+            F.when(~F.col("is_hole"), a + b).alias("absum_or_null"),
+            F.col("edges").alias("edges"),
         )
         .groupBy("boundary_id")
         .agg(
@@ -420,6 +441,7 @@ def _staged_rings_col(rings):
         w = _ring_wraps_col(r["ring_lon"])
         return F.struct(
             r["ring_lat"].alias("la"),
+            r["ring_lon"].alias("lo"),
             _unwrap_lon_col(r["ring_lon"], w).alias("ulo"),
             w.alias("w"),
             r["is_hole"].alias("is_hole"),
@@ -596,21 +618,31 @@ def polygon_area_km2(boundaries: DataFrame) -> DataFrame:
     of the reference's P2046 'area exists' skip condition
     (wikimedia_link_issue_reporter.py:1880-1895): there the area is a
     Wikidata claim; here it is derivable from the geometry itself."""
-    return normalize_rings(boundaries).select(
+    return _staged_rings_frame(boundaries).select(
         "boundary_id", _area_km2_col().alias("area_km2")
     )
 
 
+def _staged_rings_frame(boundaries: DataFrame) -> DataFrame:
+    """(boundary_id, _rs) with the per-ring test-frame arrays materialized
+    once (see _staged_rings_col) — the shared input projection of the
+    geodesic folds, so their per-vertex lambdas reference pre-built arrays
+    instead of re-evaluating the O(vertices) unwrap per vertex (an
+    O(vertices^2) interpreted blowup on high-vertex rings; round 8)."""
+    return normalize_rings(boundaries).select(
+        "boundary_id", _staged_rings_col(F.col("rings")).alias("_rs")
+    )
+
+
 def _area_km2_col() -> Column:
-    """The polygon_area_km2 fold as a reusable Column over `rings` —
-    shared with polygon_compactness so combined QA signals come from ONE
-    pass over the dim (no self-join of two aggregates)."""
+    """The polygon_area_km2 fold as a reusable Column over the staged
+    `_rs` rings (_staged_rings_frame) — shared with polygon_compactness
+    so combined QA signals come from ONE pass over the dim (no self-join
+    of two aggregates)."""
     from wikibrain_spark.geo.geodesic import EARTH_RADIUS_KM
 
-    def ring_area(r):
-        la, lo = r["ring_lat"], r["ring_lon"]
-        wrapped = _ring_wraps_col(lo)
-        ulo = _unwrap_lon_col(lo, wrapped)
+    def ring_area(s):
+        la, ulo = s["la"], s["ulo"]
         n = F.size(la)
         signed = F.aggregate(
             F.sequence(F.lit(0), n - 1),
@@ -626,11 +658,11 @@ def _area_km2_col() -> Column:
                 + F.sin(F.radians(F.element_at(la, F.pmod(i + 1, n) + 1)))
             ),
         )
-        sign = F.when(r["is_hole"], F.lit(-1.0)).otherwise(F.lit(1.0))
+        sign = F.when(s["is_hole"], F.lit(-1.0)).otherwise(F.lit(1.0))
         return sign * F.abs(signed) * F.lit(EARTH_RADIUS_KM**2 / 2.0)
 
     return F.aggregate(
-        F.transform(F.col("rings"), ring_area), F.lit(0.0), lambda a, x: a + x
+        F.transform(F.col("_rs"), ring_area), F.lit(0.0), lambda a, x: a + x
     )
 
 
@@ -643,18 +675,20 @@ def polygon_perimeter_km(boundaries: DataFrame) -> DataFrame:
     unwrap. Together with polygon_area_km2 this gives the standard
     compactness QA signals (e.g. Polsby-Popper 4*pi*A/P^2) a boundary
     pipeline filters on."""
-    return normalize_rings(boundaries).select(
+    return _staged_rings_frame(boundaries).select(
         "boundary_id", _perimeter_km_col().alias("perimeter_km")
     )
 
 
 def _perimeter_km_col() -> Column:
-    """The polygon_perimeter_km fold as a reusable Column over `rings`
-    (see _area_km2_col)."""
+    """The polygon_perimeter_km fold as a reusable Column over the staged
+    `_rs` rings (see _area_km2_col). Uses each ring's RAW lons (`lo`) —
+    haversine is wrap-safe, and raw coordinates keep the fold bit-identical
+    to the pre-staging formulation."""
     from wikibrain_spark.geo.geodesic import haversine_km_col
 
-    def ring_len(r):
-        la, lo = r["ring_lat"], r["ring_lon"]
+    def ring_len(s):
+        la, lo = s["la"], s["lo"]
         n = F.size(la)
         return F.aggregate(
             F.sequence(F.lit(0), n - 1),
@@ -669,7 +703,7 @@ def _perimeter_km_col() -> Column:
         )
 
     return F.aggregate(
-        F.transform(F.col("rings"), ring_len), F.lit(0.0), lambda a, x: a + x
+        F.transform(F.col("_rs"), ring_len), F.lit(0.0), lambda a, x: a + x
     )
 
 
@@ -714,7 +748,7 @@ def polygon_compactness(boundaries: DataFrame) -> DataFrame:
     polygons score less compact because their synthetic meridian closure
     edges count as boundary length."""
     return (
-        normalize_rings(boundaries)
+        _staged_rings_frame(boundaries)
         .select(
             "boundary_id",
             _area_km2_col().alias("area_km2"),
