@@ -532,18 +532,54 @@ def broadcast_pip_join_native(
     if cell_prefilter_res is None:
         poly_dim = poly_structs.agg(F.collect_list("p").alias("polys"))  # single row
         pts = points.crossJoin(F.broadcast(poly_dim))
-    else:
-        dim_builder = clipped_cell_dim if clip_dim else candidate_cell_dim
-        cell_dim = dim_builder(boundaries, cell_prefilter_res)
+        polys = F.col("polys")
+    elif clip_dim:
+        cell_dim = clipped_cell_dim(boundaries, cell_prefilter_res)
         pts = points.withColumn(
             "cell", cells.hexlite_cell_col(F.col("lat"), F.col("lon"), cell_prefilter_res)
         ).join(F.broadcast(cell_dim), "cell", "left")
+        polys = F.col("polys")
+    else:
+        # POSITION-INDEXED unclipped dim (round 8): the old
+        # candidate_cell_dim shipped a full copy of each polygon's
+        # struct<bid, boxes, edges> once per covering cell — an
+        # O(cells x vertices) aggregate + broadcast (the polar cap at
+        # res 3 covers ~39k cells x a 77-edge struct ~ a 10^2 MB dim;
+        # measured as the whole cost of that bench row). Now the per-cell
+        # dim carries only int POSITIONS into a one-row array of the
+        # polygon structs: O(cells + vertices) broadcast bytes, and each
+        # point's fold resolves its candidates with O(1) element_at
+        # lookups. Same candidate sets, same fold, identical rows.
+        from pyspark.sql import Window
+
+        pos = poly_structs.withColumn(
+            "pos", F.row_number().over(Window.orderBy("boundary_id"))
+        )
+        all_row = pos.agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "p"))), lambda x: x["p"]
+            ).alias("_all_polys")
+        )  # single row, ordered by pos
+        cell_dim = (
+            polygon_cover(boundaries, cell_prefilter_res)
+            .join(pos.select("boundary_id", "pos"), "boundary_id")
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list("pos")).alias("_poss"))
+        )
+        pts = (
+            points.withColumn(
+                "cell", cells.hexlite_cell_col(F.col("lat"), F.col("lon"), cell_prefilter_res)
+            )
+            .join(F.broadcast(cell_dim), "cell", "left")
+            .crossJoin(F.broadcast(all_row))
+        )
+        polys = F.transform(F.col("_poss"), lambda i: F.element_at(F.col("_all_polys"), i))
     return pts.select(
         "image_id", "lat", "lon", *extra_cols,
         # explode(null) yields no rows, so points whose cell has no covering
         # polygon (left-join miss) drop out without a null guard
         F.explode(
-            F.transform(F.filter(F.col("polys"), inside), lambda s: s["bid"])
+            F.transform(F.filter(polys, inside), lambda s: s["bid"])
         ).alias("boundary_id"),
     )
 
