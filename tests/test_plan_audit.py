@@ -152,8 +152,9 @@ def test_knn_kring_plan_has_no_dedup_aggregate(spark):
 def test_clipped_dim_native_plan_points_side_pure(spark):
     """The clipped-dim native PIP (round 6) must keep the points side
     zero-Python and zero-shuffle: exactly ONE MapInPandas (the clip dim
-    build, once per snapshot) and ONE shuffle exchange (the dim's
-    collect_list groupBy), both inside the broadcast subtree; the probe
+    build, once per snapshot) and TWO shuffle exchanges (round 8: the
+    clip-unit repartition that parallelizes the prepass, plus the dim's
+    collect_list groupBy), all inside the broadcast subtree; the probe
     side is a bare scan into a BroadcastHashJoin."""
     from wikibrain_spark.operators import spatial_join
 
@@ -171,10 +172,10 @@ def test_clipped_dim_native_plan_points_side_pure(spark):
     assert plan.count("MapInPandas") == 1
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert plan.count("BroadcastExchange") == 1
-    assert plan.replace("BroadcastExchange", "BX").count("Exchange") == 1
-    # the one MapInPandas and the one Exchange are both in the broadcast
-    # (dim) subtree: toString indents children, so both must appear AFTER
-    # the BroadcastExchange line
+    assert plan.replace("BroadcastExchange", "BX").count("Exchange") == 2
+    # the one MapInPandas and both Exchanges are in the broadcast (dim)
+    # subtree: toString indents children, so all must appear AFTER the
+    # BroadcastExchange line
     bx = plan.find("BroadcastExchange")
     assert plan.find("MapInPandas") > bx
     assert plan.replace("BroadcastExchange", "BX").find("Exchange") > bx

@@ -95,7 +95,9 @@ def clip_ring(ys: np.ndarray, xs: np.ndarray, y_lo: float, y_hi: float,
     return ys, xs
 
 
-def clipped_cell_cover(rings: list, res: int) -> dict[int, list]:
+def clipped_cell_cover(
+    rings: list, res: int, strip_lo: int | None = None, strip_hi: int | None = None
+) -> dict[int, list]:
     """Per-cell clipped geometry for one boundary's ring list.
 
     rings: [(ring_lat, ring_lon), ...] arrays (is_hole irrelevant —
@@ -106,7 +108,13 @@ def clipped_cell_cover(rings: list, res: int) -> dict[int, list]:
     Decomposition is strip-then-column: each ring is clipped once per
     latitude strip (O(vertices) per strip), then each small strip ring is
     clipped per longitude cell — total work O(vertices x strips +
-    occupied cells), not O(vertices x cells)."""
+    occupied cells), not O(vertices x cells).
+
+    strip_lo/strip_hi (round 8): restrict the walk to latitude strips in
+    [strip_lo, strip_hi] — the parallel-prepass seam. Every cell belongs
+    to exactly one strip, so a partition of the strip range across
+    workers yields each (cell) entry exactly once, with pieces in the
+    same ring/strip/column order as the unrestricted call."""
     step = cells.hexlite_step(res)
     n_lat, n_lon = cells.hexlite_dims(res)
     hdr = (cells.HEXLITE_MODE << 60) | (res << 56)
@@ -120,6 +128,10 @@ def clipped_cell_cover(rings: list, res: int) -> dict[int, list]:
         xs_ring = pip.unwrap_lon(lo) if wraps else lo
         i0 = max(0, int(np.floor((la.min() + 90.0) / step)))
         i1 = min(n_lat - 1, int(np.floor((la.max() + 90.0) / step)))
+        if strip_lo is not None:
+            i0 = max(i0, int(strip_lo))
+        if strip_hi is not None:
+            i1 = min(i1, int(strip_hi))
         # candidate RAW lon cells: project the ring's x-range back through
         # the probe-side cell formula, mirroring hexlite_cover_bbox's two
         # branches EXACTLY so the clipped cover is a provable subset of the

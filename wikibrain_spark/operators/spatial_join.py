@@ -743,6 +743,84 @@ def _perimeter_km_col() -> Column:
     )
 
 
+# target vertex load per clip-prepass task: small enough that one 10^6-
+# vertex boundary spreads over ~16 tasks, large enough that the duplicated
+# ring transport (each chunk ships the boundary's full strip-intersecting
+# rings) stays a few MB per task
+_CLIP_CHUNK_TARGET_VERTICES = 60_000
+
+
+def _clip_units(boundaries: DataFrame, res: int) -> DataFrame:
+    """(boundary_id, rings, strip_lo, strip_hi) work units for the clip
+    prepass (round 8). The Sutherland-Hodgman prepass used to run as one
+    Python task per BOUNDARY — a 600k-vertex snapshot with two polygons
+    ran its entire clip serially in two tasks (one of them 5x the other),
+    measured ~3.4 s at local[32] with 30 cores idle. Cells are strip-
+    aligned, so partitioning each boundary's latitude-strip range into
+    contiguous chunks (one unit per ~_CLIP_CHUNK_TARGET_VERTICES vertices)
+    parallelizes the prepass with NO downstream merge: a unit emits
+    exactly the (cell, pieces) entries of its own strips, disjoint from
+    every other unit's, with identical per-entry content and piece order.
+
+    Each unit carries the boundary's rings FILTERED (with a one-strip
+    safety margin) to those whose latitude range can touch the unit's
+    strips — the clip of an unrelated ring would return None anyway, the
+    filter just avoids shipping 400k-vertex arrays to chunks that cannot
+    use them. The final repartition spreads units across the cluster; its
+    shuffle moves O(chunks x ring-bytes), a few tens of MB for a 10^6-
+    vertex snapshot."""
+    spark = boundaries.sparkSession
+    step = cells.hexlite_step(res)
+    n_lat, _ = cells.hexlite_dims(res)
+
+    r2 = F.col("_r2")
+    staged = normalize_rings(boundaries).select(
+        "boundary_id",
+        F.transform(
+            F.col("rings"),
+            lambda r: F.struct(
+                r.alias("r"),
+                F.floor((F.array_min(r["ring_lat"]) + F.lit(90.0)) / F.lit(step)).alias("i0"),
+                F.floor((F.array_max(r["ring_lat"]) + F.lit(90.0)) / F.lit(step)).alias("i1"),
+                F.size(r["ring_lat"]).alias("nv"),
+            ),
+        ).alias("_r2"),
+    )
+    i0 = F.greatest(F.lit(0).cast("long"), F.array_min(F.transform(r2, lambda x: x["i0"])))
+    i1 = F.least(F.lit(n_lat - 1).cast("long"), F.array_max(F.transform(r2, lambda x: x["i1"])))
+    n_strips = i1 - i0 + 1
+    total_v = F.aggregate(r2, F.lit(0), lambda a, x: a + x["nv"])
+    n_chunks = F.least(
+        n_strips,
+        F.greatest(F.lit(1).cast("long"), F.ceil(total_v / F.lit(_CLIP_CHUNK_TARGET_VERTICES))),
+    )
+    with_bounds = staged.select(
+        "boundary_id", "_r2",
+        i0.alias("_i0"), n_strips.alias("_ns"), n_chunks.alias("_nc"),
+    )
+    k = F.col("_k")
+    strip_lo = F.col("_i0") + F.floor(k * F.col("_ns") / F.col("_nc"))
+    strip_hi = F.col("_i0") + F.floor((k + 1) * F.col("_ns") / F.col("_nc")) - 1
+    units = (
+        with_bounds
+        # explode(sequence) drops boundaries with null bounds (no rings)
+        .withColumn("_k", F.explode(F.sequence(F.lit(0).cast("long"), F.col("_nc") - 1)))
+        .select(
+            "boundary_id",
+            F.transform(
+                F.filter(
+                    F.col("_r2"),
+                    lambda x: (x["i0"] <= strip_hi + 1) & (x["i1"] >= strip_lo - 1),
+                ),
+                lambda x: x["r"],
+            ).alias("rings"),
+            strip_lo.cast("long").alias("strip_lo"),
+            strip_hi.cast("long").alias("strip_hi"),
+        )
+    )
+    return units.repartition(_shuffle_partitions(spark))
+
+
 def clipped_cover_frame(boundaries: DataFrame, res: int) -> DataFrame:
     """(boundary_id, cell, geom array<double>): the clip-to-cell cover the
     shuffle strategy cogroups against — each covered cell carries only the
@@ -755,9 +833,12 @@ def clipped_cover_frame(boundaries: DataFrame, res: int) -> DataFrame:
 
     def cover_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            for bid, rings in zip(b["boundary_id"], b["rings"]):
+            for bid, rings, s_lo, s_hi in zip(
+                b["boundary_id"], b["rings"], b["strip_lo"], b["strip_hi"]
+            ):
                 pieces = _clip.clipped_cell_cover(
-                    [(r["ring_lat"], r["ring_lon"]) for r in rings], res
+                    [(r["ring_lat"], r["ring_lon"]) for r in rings], res,
+                    strip_lo=s_lo, strip_hi=s_hi,
                 )
                 if not pieces:
                     continue
@@ -768,7 +849,9 @@ def clipped_cover_frame(boundaries: DataFrame, res: int) -> DataFrame:
                     "geom": [_clip.pack_pieces(pieces[c]) for c in ids],
                 })
 
-    return normalize_rings(boundaries).select("boundary_id", "rings").mapInPandas(
+    # strip-aligned parallel prepass (round 8, see _clip_units): units are
+    # disjoint in (cell), so the union of per-unit covers IS the cover
+    return _clip_units(boundaries, res).mapInPandas(
         cover_fn, schema="boundary_id long, cell long, geom array<double>"
     )
 
@@ -877,9 +960,12 @@ def clipped_cell_dim(boundaries: DataFrame, res: int) -> DataFrame:
             y1s: list[np.ndarray] = []
             x1s: list[np.ndarray] = []
             ws: list[np.ndarray] = []
-            for bid, rings in zip(b["boundary_id"], b["rings"]):
+            for bid, rings, s_lo, s_hi in zip(
+                b["boundary_id"], b["rings"], b["strip_lo"], b["strip_hi"]
+            ):
                 pieces = _clip.clipped_cell_cover(
-                    [(r["ring_lat"], r["ring_lon"]) for r in rings], res
+                    [(r["ring_lat"], r["ring_lon"]) for r in rings], res,
+                    strip_lo=s_lo, strip_hi=s_hi,
                 )
                 for cell_id, plist in pieces.items():
                     # NumPy column assembly, O(pieces) Python per cell:
@@ -930,9 +1016,10 @@ def clipped_cell_dim(boundaries: DataFrame, res: int) -> DataFrame:
     # arrays_zip turns the five parallel primitive arrays into the edge
     # struct array (field names follow the zipped column names), so the
     # Arrow channel only ever carries flat primitive vectors
+    # strip-aligned parallel prepass (round 8, see _clip_units): units are
+    # disjoint in (cell), so no (cell, bid) entry is split across tasks
     return (
-        normalize_rings(boundaries)
-        .select("boundary_id", "rings")
+        _clip_units(boundaries, res)
         .mapInPandas(dim_fn, schema=schema)
         .select(
             "cell",
