@@ -57,7 +57,11 @@ def p279_closure(
     """
     if doubling:
         return _p279_closure_doubling(edges, ignored, max_iterations)
-    e = _filtered_edges(edges, ignored)
+    # materialize the (filtered) edge list ONCE: every round's join re-reads
+    # it, and without this each of the ~depth rounds re-runs the edge scan +
+    # filter and rebuilds its broadcast from source (round 8; the loop is
+    # fixed-overhead-bound at small scale and scan-bound at large)
+    e = _filtered_edges(edges, ignored).localCheckpoint()
     if broadcast_edges:
         e = F.broadcast(e)
 
@@ -94,7 +98,7 @@ def _p279_closure_doubling(
     iteration budget is exhausted before fixpoint — 2^max_iterations is
     the provable depth bound, so the default 25 covers any real ontology.
     """
-    e = _filtered_edges(edges, ignored)
+    e = _filtered_edges(edges, ignored).localCheckpoint()
     nodes = e.select(F.col("child").alias("qid")).union(e.select("parent")).distinct()
     closure = (
         nodes.select("qid", F.col("qid").alias("ancestor"))
@@ -102,18 +106,30 @@ def _p279_closure_doubling(
         .distinct()
         .localCheckpoint()
     )
-    n = closure.count()
+    # DELTA doubling (round 8): after round k the closure holds exactly the
+    # pairs with a path of length <= 2^k, and the round's join needs only
+    # delta_k ⋈ closure_k, not closure ⋈ closure. Proof of coverage: a pair
+    # (a, c) whose shortest path L lies in (2^k, 2^{k+1}] splits at the
+    # vertex b sitting 2^k steps along a shortest path — (a, b) has
+    # shortest path EXACTLY 2^k (prefixes of shortest paths are shortest),
+    # so it entered the closure in round k (it is in delta_k), and (b, c)
+    # has length L - 2^k <= 2^k (in closure_k). The composition can only
+    # produce paths <= 2^{k+1}, so the invariant is exact. Same fixpoint,
+    # same O(log depth) rounds, but each round shuffles |delta| x closure
+    # instead of closure^2 — and no full re-distinct of the closure (the
+    # old union().distinct() re-aggregated every known pair every round).
+    delta = closure
     for _ in range(max_iterations):
         step = (
-            closure.alias("x")
+            delta.alias("x")
             .join(closure.alias("y"), F.col("x.ancestor") == F.col("y.qid"))
             .select(F.col("x.qid").alias("qid"), F.col("y.ancestor").alias("ancestor"))
+            .distinct()
         )
-        closure = closure.union(step).distinct().localCheckpoint()
-        n_new = closure.count()
-        if n_new == n:
+        delta = step.join(closure, ["qid", "ancestor"], "left_anti").localCheckpoint()
+        if delta.isEmpty():
             return closure
-        n = n_new
+        closure = closure.union(delta).localCheckpoint()
     raise RuntimeError(
         f"p279_closure(doubling=True): no fixpoint within {max_iterations} "
         f"rounds (depth would exceed 2^{max_iterations})"
@@ -140,6 +156,7 @@ def p279_closure_with_depth(
             e.join(F.broadcast(ign), e["parent"] == ign["qid"], "left_anti")
             .join(F.broadcast(ign), e["child"] == ign["qid"], "left_anti")
         )
+    e = e.localCheckpoint()  # scanned every round — materialize once (round 8)
     if broadcast_edges:
         e = F.broadcast(e)
 

@@ -45,6 +45,13 @@ def get_spark(
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
+        # let AQE rewrite sort-merge joins to shuffled-hash AT RUNTIME when
+        # every post-shuffle partition is small (guide §3.1) — the decision
+        # is made from MEASURED partition sizes, so it is scale-adaptive:
+        # the iterative closure/cluster anti-joins skip two sorts per round
+        # at snapshot scale while a 100 TB join keeps sort-merge's graceful
+        # spill (partitions above the threshold are left alone)
+        "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": "64m",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         # image rows are fat (binary pixels): cap Arrow batch row count so a
         # decoded batch (rows * w * h * 3 bytes) stays well under worker memory
