@@ -71,13 +71,19 @@ def _blocked_jaccard_core(
     join safely by construction: no block can go quadratic."""
     inter = F.size(F.array_intersect("a.items", "b.items"))
     sa, sb = F.size(F.col("a.items")), F.size(F.col("b.items"))
-    union = sa + sb - inter  # items arrays are distinct: |A|+|B|-|A∩B|
-    jac = inter / union
-    out_cols = [
+    # round 8: the intersect size is STAGED as a projected column so the
+    # threshold filter and the output expression share ONE array_intersect
+    # evaluation per candidate pair (it was evaluated twice); union size
+    # is |A|+|B|-|A∩B| as before. Identical integers, identical jaccard.
+    staged_cols = [
         F.col("a.doc_id").alias("doc_a"),
         F.col("b.doc_id").alias("doc_b"),
-        F.floor(jac * 10000).cast("long").alias("jaccard_e4"),
+        inter.alias("_i"),
+        sa.alias("_sa"),
+        sb.alias("_sb"),
     ]
+    jac = F.col("_i") / (F.col("_sa") + F.col("_sb") - F.col("_i"))
+    out_cols = ["doc_a", "doc_b", F.floor(jac * 10000).cast("long").alias("jaccard_e4")]
     # J <= min/max of set sizes: prune before the set algebra
     size_prune = F.least(sa, sb) >= F.lit(threshold) * F.greatest(sa, sb)
     block_cond = (
@@ -89,7 +95,8 @@ def _blocked_jaccard_core(
 
     if max_block_docs is None:
         return (
-            d.alias("a").join(d.alias("b"), block_cond).where(jac >= threshold).select(*out_cols)
+            d.alias("a").join(d.alias("b"), block_cond)
+            .select(*staged_cols).where(jac >= threshold).select(*out_cols)
         )
 
     sizes = d.groupBy("lang", "lbucket").agg(F.count("*").alias("_bsz"))
@@ -97,7 +104,8 @@ def _blocked_jaccard_core(
     dd = d.join(F.broadcast(sizes), ["lang", "lbucket"])
     cold = dd.where(F.col("_bsz") <= max_block_docs).drop("_bsz")
     exact = (
-        cold.alias("a").join(cold.alias("b"), block_cond).where(jac >= threshold).select(*out_cols)
+        cold.alias("a").join(cold.alias("b"), block_cond)
+        .select(*staged_cols).where(jac >= threshold).select(*out_cols)
     )
     if not hot:
         return exact
@@ -139,9 +147,9 @@ def _blocked_jaccard_core(
     hot_pairs = (
         hotd.alias("a")
         .join(hotd.alias("b"), band_cond)
-        .select(*out_cols, jac.alias("_jac"))
-        .where(F.col("_jac") >= threshold)
-        .drop("_jac")
+        .select(*staged_cols)
+        .where(jac >= threshold)
+        .select(*out_cols)
         .dropDuplicates(["doc_a", "doc_b"])
     )
     return exact.unionByName(hot_pairs)
@@ -243,8 +251,13 @@ def minhash_banded(
     rows_per_band = n_perms // n_bands
     # staged: grams -> hashes -> sig, each a materialized column so the
     # shingle subtree appears once in the plan, not n_perms times
+    from wikibrain_spark.session import fan_out
+
+    # fan the signature kernel out to the cluster width (no-op at scale):
+    # a small doc snapshot arrives in one row group and the whole
+    # shingle->minhash pipeline would otherwise run in one task (round 8)
     d = (
-        documents.select("doc_id", char_ngrams(F.col(text_col), ngram).alias("grams"))
+        fan_out(documents).select("doc_id", char_ngrams(F.col(text_col), ngram).alias("grams"))
         .withColumn("hashes", F.transform("grams", lambda g: F.pmod(F.xxhash64(g), F.lit(MERSENNE))))
         .withColumn("sig", minhash_from_hashes(F.col("hashes"), n_perms))
         .drop("hashes")
@@ -270,9 +283,16 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """MinHash banding: docs agreeing on any band become candidates, then
     exact Jaccard verifies (the standard shingle->minhash->band->bucket-join
-    pipeline). Returns (doc_a, doc_b, jaccard_e4)."""
+    pipeline). Returns (doc_a, doc_b, jaccard_e4).
+
+    The banding table is materialized once (localCheckpoint, round 8): the
+    candidate self-join reads it from both sides, and without
+    materialization each side re-runs the whole shingle->minhash pipeline
+    — the same reason callers that STAGE the table to parquet (the
+    oracle seam) re-read it from disk."""
     return minhash_pairs_from_banded(
-        minhash_banded(documents, n_perms, n_bands, ngram, text_col), threshold
+        minhash_banded(documents, n_perms, n_bands, ngram, text_col).localCheckpoint(),
+        threshold,
     )
 
 
@@ -286,6 +306,17 @@ def minhash_pairs_from_banded(banded: DataFrame, threshold: float = 0.5) -> Data
     # verify — this prunes inside the join, before dedup and intersect
     sa, sb = F.size(F.col("a.grams")), F.size(F.col("b.grams"))
     size_ok = F.least(sa, sb) >= F.lit(threshold) * F.greatest(sa, sb)
+    # round 8, two changes with the same pair set and identical jaccard:
+    # (1) the candidate rows are EXPLICITLY repartitioned by pair key
+    # before the dedup — the band join's output stage is byte-light but
+    # CPU-heavy (the set verify), and AQE's byte-based coalescing
+    # serializes it behind one task (the round-3 AQE-coalesce trap, here
+    # re-measured as a 3x slowdown of the verify); a user-specified
+    # partition count is exempt. (2) the verify computes ONE
+    # array_intersect and derives the union as |A|+|B|-|A∩B| (grams are
+    # distinct arrays) instead of building an array_union hash set.
+    from wikibrain_spark.operators.spatial_join import _shuffle_partitions
+
     cand = (
         a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
                & (F.col("a.band_hash") == F.col("b.band_hash"))
@@ -295,11 +326,11 @@ def minhash_pairs_from_banded(banded: DataFrame, threshold: float = 0.5) -> Data
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
             F.col("a.grams").alias("grams_a"), F.col("b.grams").alias("grams_b"),
         )
+        .repartition(_shuffle_partitions(banded.sparkSession), "doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
     inter = F.size(F.array_intersect("grams_a", "grams_b"))
-    union = F.size(F.array_union("grams_a", "grams_b"))
-    jac = inter / union
+    jac = inter / (F.size("grams_a") + F.size("grams_b") - inter)
     return cand.where(jac >= threshold).select(
         "doc_a", "doc_b", F.floor(jac * 10000).cast("long").alias("jaccard_e4")
     )
@@ -325,10 +356,15 @@ def embedding_near_dup_pairs(
         F.zip_with("a.v", "b.v", lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0), lambda acc, x: acc + x,
     )
-    sim = dot / (F.col("a.nrm") * F.col("b.nrm"))
-    return pairs.where(sim >= threshold).select(
+    # round 8: stage the O(dim) dot-product fold once per pair — `sim` is
+    # referenced by both the filter and the output, which re-evaluated the
+    # whole fold twice. Same doubles, same rows.
+    staged = pairs.select(
         F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-        F.floor(sim * 1000).cast("long").alias("sim_e3"),
+        (dot / (F.col("a.nrm") * F.col("b.nrm"))).alias("_sim"),
+    )
+    return staged.where(F.col("_sim") >= threshold).select(
+        "id_a", "id_b", F.floor(F.col("_sim") * 1000).cast("long").alias("sim_e3"),
     )
 
 
@@ -388,8 +424,11 @@ def simhash64_col(text: Column) -> Column:
 
 def simhash64(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, simhash) via the native kernel, staged through select so the
-    token-hash subtree appears once in the plan."""
-    return documents.select("doc_id", simhash64_col(F.col(text_col)).alias("simhash"))
+    token-hash subtree appears once in the plan. Fanned out to cluster
+    width (no-op at scale) — see minhash_banded."""
+    from wikibrain_spark.session import fan_out
+
+    return fan_out(documents).select("doc_id", simhash64_col(F.col(text_col)).alias("simhash"))
 
 
 def _chunk_bounds(n_chunks: int) -> list[tuple[int, int]]:

@@ -106,9 +106,14 @@ def document_stats(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """Staged projections: each derived quantity is materialized as a column
     once, then reused — the naive nested-when form duplicates the regexp
     subtrees ~20x and blows up codegen (measured 15s -> <1s on 500 rows)."""
+    from wikibrain_spark.session import fan_out
+
     t = F.col(text_col)
     counts = marker_counts(t)
-    staged = documents.select(
+    # fan the regex/token kernel out to cluster width (no-op at scale):
+    # a small snapshot arrives in one row group and the whole stats pass
+    # would otherwise run in one task (round 8)
+    staged = fan_out(documents).select(
         "doc_id", t.alias("__t"),
         token_count(t).alias("n_tokens"),
         F.length(t).alias("n_chars_actual"),

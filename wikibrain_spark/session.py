@@ -14,6 +14,22 @@ import os
 from pyspark.sql import SparkSession
 
 
+def fan_out(df, min_partitions: int | None = None):
+    """Round-robin repartition a DataFrame up to the cluster's default
+    parallelism IFF it arrives in fewer partitions (round 8, guide §2.6
+    idle-capacity). CPU-heavy per-row kernels (regex scrubs, shingle/
+    minhash signatures, doc stats) inherit the scan's partitioning; a
+    small snapshot lands in one or two parquet row groups, so the whole
+    kernel runs serially while the rest of the cluster idles — and AQE
+    cannot help because there is no exchange to re-plan. The guard makes
+    this a NO-OP at scale: a table with at least as many splits as cores
+    passes through untouched, so no production shuffle is introduced."""
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def get_spark(
     app_name: str = "wikibrain_spark",
     master: str | None = None,
