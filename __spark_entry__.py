@@ -487,24 +487,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ring) where per-candidate geometry transport would dominate. The
     # oracle does the even-odd crossing math independently in SQL over
     # the staged edge table (the staged table is the geometry spec).
-    def q_pip_coastline(spark, sf):
+    # round 8: the coastline fixture is staged ONCE behind a marker (the
+    # generator is deterministic) and the engine reads the boundary
+    # snapshot through the parquet scan path — the same treatment the
+    # megacoast fixture got in round 7 ("like production data, NOT via a
+    # driver-side createDataFrame of megabyte Python lists"): the per-
+    # invocation re-generate + re-stage + 12k-vertex py4j createDataFrame
+    # measured ~0.5 s of pure driver time per query run. The staged
+    # edges.parquet the DuckDB oracle reads is byte-identical.
+    def _coast_inputs(spark):
         from wikibrain_spark.sources import synthetic
 
-        coast = synthetic.generate_coastlines()
-        os.makedirs(COAST_STAGE_DIR, exist_ok=True)
-        synthetic.coastline_edges(coast).to_parquet(
-            os.path.join(COAST_STAGE_DIR, "edges.parquet"), index=False
-        )
-        bnd = spark.createDataFrame(
-            [
-                (
-                    int(r["boundary_id"]),
-                    [(rr["ring_lat"], rr["ring_lon"], rr["is_hole"]) for rr in r["rings"]],
-                )
-                for _, r in coast.iterrows()
-            ],
-            f"boundary_id long, rings {spatial_join.RINGS_TYPE}",
-        )
+        # boundaries go in a SUBDIR: the frozen oracle SQL globs
+        # COAST_STAGE_DIR/*.parquet for the edge table, and globs do not
+        # recurse
+        snap_dir = os.path.join(COAST_STAGE_DIR, "snapshot")
+        os.makedirs(snap_dir, exist_ok=True)
+        marker = os.path.join(COAST_STAGE_DIR, ".done_v1")
+        if not os.path.exists(marker):
+            coast = synthetic.generate_coastlines()
+            synthetic.coastline_edges(coast).to_parquet(
+                os.path.join(COAST_STAGE_DIR, "edges.parquet"), index=False
+            )
+            coast.to_parquet(
+                os.path.join(snap_dir, "boundaries.parquet"), index=False
+            )
+            open(marker, "w").close()
+        return spark.read.parquet(os.path.join(snap_dir, "boundaries.parquet"))
+
+    def q_pip_coastline(spark, sf):
+        bnd = _coast_inputs(spark)
         pts = _event_points(spark, sf).withColumnRenamed("event_id", "image_id")
         pairs = spatial_join.shuffle_pip_join(
             pts.select(F.col("image_id").cast("string"), "lat", "lon"),
@@ -527,23 +539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # q_pip_coastline: the gate pins that the clipped fold's parity is
     # exact on outer+hole, dateline, and multi-component rings.
     def q_pip_coastline_native(spark, sf):
-        from wikibrain_spark.sources import synthetic
-
-        coast = synthetic.generate_coastlines()
-        os.makedirs(COAST_STAGE_DIR, exist_ok=True)
-        synthetic.coastline_edges(coast).to_parquet(
-            os.path.join(COAST_STAGE_DIR, "edges.parquet"), index=False
-        )
-        bnd = spark.createDataFrame(
-            [
-                (
-                    int(r["boundary_id"]),
-                    [(rr["ring_lat"], rr["ring_lon"], rr["is_hole"]) for rr in r["rings"]],
-                )
-                for _, r in coast.iterrows()
-            ],
-            f"boundary_id long, rings {spatial_join.RINGS_TYPE}",
-        )
+        bnd = _coast_inputs(spark)  # staged-once snapshot via the scan path (round 8)
         pts = _event_points(spark, sf).withColumnRenamed("event_id", "image_id")
         pairs = spatial_join.broadcast_pip_join_native(
             pts.select(F.col("image_id").cast("string"), "lat", "lon"),
@@ -559,9 +555,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- 600k-vertex MEGACOAST stress (round 7): an order of magnitude
     # past the 12k-edge coastline — real OSM admin boundaries reach 10^6
     # vertices, and this is where the O(vertices + cells) clip transport
-    # claim lives. Probes are subsampled (event_id % 37) so the DuckDB
-    # crossing-parity oracle's nested-loop join stays ~1.6e8 predicate
-    # evaluations at sf0.01; the ENGINE side runs the same subsample so
+    # claim lives. Probes are subsampled (event_id % 11) so the DuckDB
+    # crossing-parity oracle's nested-loop join stays ~5.5e8 predicate
+    # evaluations at sf0.01 (~909 probes x 600k edges); the ENGINE side runs the same subsample so
     # the comparison is exact. Both physical strategies take their
     # statistics-driven defaults: the shuffle flips clip_cover on (the
     # replicated-edge estimate is ~10^8 at the auto res) and the native
@@ -728,17 +724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_pip_coastline_simplified(spark, sf):
         from wikibrain_spark.sources import synthetic
 
-        coast = synthetic.generate_coastlines()
-        bnd = spark.createDataFrame(
-            [
-                (
-                    int(r["boundary_id"]),
-                    [(rr["ring_lat"], rr["ring_lon"], rr["is_hole"]) for rr in r["rings"]],
-                )
-                for _, r in coast.iterrows()
-            ],
-            f"boundary_id long, rings {spatial_join.RINGS_TYPE}",
-        )
+        bnd = _coast_inputs(spark)  # staged-once snapshot via the scan path (round 8)
         simp_rows = spatial_join.simplify_rings(bnd, 0.05).collect()
         simp_pd = __import__("pandas").DataFrame(
             [{"boundary_id": r["boundary_id"],
@@ -1459,7 +1445,7 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY event_id, boundary_id
     """
     # megacoast (round 7): same independent crossing-parity math over the
-    # staged 600k-edge table; probes subsampled (event_id % 37) exactly as
+    # staged 600k-edge table; probes subsampled (event_id % 11) exactly as
     # the engine query so the nested-loop join stays bounded at sf0.01
     mega_pip_sql = f"""
         WITH pts AS (SELECT event_id, {MEGA_LAT_EXPR} AS lat, {MEGA_LON_EXPR} AS lon

@@ -94,6 +94,12 @@ def dp_simplify_ring(ys: np.ndarray, xs: np.ndarray, tol: float
         d2 = (my - t * dy) ** 2 + (mx - t * dx) ** 2
         d2[keep] = -1.0
         keep[int(np.argmax(d2))] = True
+    # round-7 ADVICE: a fully degenerate ring (all vertices coincident)
+    # yields k == 0, so the anchors are ONE vertex and the re-admit adds
+    # exactly one more — keep admitting (in original order) until the
+    # documented never-fewer-than-3 guarantee holds
+    while int(keep.sum()) < 3:
+        keep[int(np.argmax(~keep))] = True
     return ys[keep], xs[keep]
 
 

@@ -504,8 +504,11 @@ def broadcast_pip_join_native(
     poly_structs = polygon_structs(boundaries)
 
     lat, lon = F.col("lat"), F.col("lon")
-    # probe lon in the unwrapped frame, used against dateline-crossing rings
-    lon360 = F.when(lon < 0, lon + F.lit(360.0)).otherwise(lon)
+    # probe lon in the unwrapped frame, used against dateline-crossing
+    # rings — STAGED as a point-side column (round 8): the fold references
+    # it once per edge, and inline it was a per-edge CASE re-evaluation
+    points = points.withColumn("_lon360", F.when(lon < 0, lon + F.lit(360.0)).otherwise(lon))
+    lon360 = F.col("_lon360")
 
     def inside(p):
         crossings = F.aggregate(
@@ -1247,6 +1250,10 @@ def shuffle_pip_join(
     """
     from wikibrain_spark.operators.knn import _sampled_hot_cells
 
+    if isinstance(clip_cover, str) and clip_cover != "auto":
+        raise ValueError(
+            f"clip_cover must be a bool or the string 'auto', got {clip_cover!r}"
+        )  # round-7 ADVICE: any other string silently enabled clipping via truthiness
     if res is None:
         res = _auto_cover_res(boundaries)
     spark = points.sparkSession

@@ -187,13 +187,14 @@ def generate_megacoast(scale: int = 1) -> pd.DataFrame:
       Longshore).
     * 41 Dateline Shelf — 100k-vertex dateline-crossing coastline.
 
-    scale multiplies every ring's vertex count (tests use scale to trim
-    CI cost; bench/scaling rows run scale=1). Deterministic (own seed),
-    single-valued-radius rings: simple at any vertex count."""
+    scale multiplies every ring's vertex count (bench/scaling rows run
+    scale=1; per-ring counts are int()-coerced so fractional scales
+    work). Deterministic (own seed), single-valued-radius rings: simple
+    at any vertex count."""
     rng = np.random.default_rng(SEED + 13)
-    c_lat, c_lon = _coast_ring(20.0, -40.0, 30.0, 400_000 * scale, rng)
-    h_lat, h_lon = _coast_ring(20.0, -40.0, 5.0, 100_000 * scale, rng)
-    d_lat, d_lon = _coast_ring(-10.0, 178.0, 12.0, 100_000 * scale, rng)
+    c_lat, c_lon = _coast_ring(20.0, -40.0, 30.0, int(400_000 * scale), rng)
+    h_lat, h_lon = _coast_ring(20.0, -40.0, 5.0, int(100_000 * scale), rng)
+    d_lat, d_lon = _coast_ring(-10.0, 178.0, 12.0, int(100_000 * scale), rng)
     d_lon = ((np.asarray(d_lon) + 180.0) % 360.0) - 180.0  # wrap to [-180, 180)
     return pd.DataFrame([
         {"boundary_id": 40, "rings": [_ring_rec(c_lat, c_lon),
