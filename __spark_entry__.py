@@ -150,10 +150,27 @@ def _event_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RECT_BOUNDARIES_CACHE: dict[str, DataFrame] = {}
+
+
 def _rect_boundaries(spark: SparkSession) -> DataFrame:
     """POLYS as a canonical-rings boundary frame. Ring k>0 nested inside
     ring 0 acts as a hole under even-odd; is_hole is set for metadata
-    consistency (bbox/cover construction ignores hole rings)."""
+    consistency (bbox/cover construction ignores hole rings).
+
+    The frame is memoized per Spark application (round 8): it is a
+    constant INPUT fixture, but a fresh createDataFrame per invocation
+    yields a fresh RDD and therefore a fresh semanticHash — which
+    defeated the cover-statistics memo (spatial_join._cover_stats) and
+    re-ran the one-row stats job on every query run. Production boundary
+    snapshots enter through stable table scans where the memo works by
+    itself; this restores the same behavior for the driver-created
+    fixture. No query RESULT is cached — only the literal fixture frame."""
+    key = spark.sparkContext.applicationId
+    cached = _RECT_BOUNDARIES_CACHE.get(key)
+    if cached is not None:
+        return cached
+
     def ring(la0, la1, lo0, lo1):
         return ([la0, la0, la1, la1], [lo0, lo1, lo1, lo0])
 
@@ -168,9 +185,12 @@ def _rect_boundaries(spark: SparkSession) -> DataFrame:
             hole = k > 0 and any(is_nested(r, rects[j]) for j in range(k))
             rings.append((*ring(*r), hole))
         rows.append((rid, rings))
-    return spark.createDataFrame(
+    df = spark.createDataFrame(
         rows, f"boundary_id long, rings {spatial_join.RINGS_TYPE}"
     )
+    _RECT_BOUNDARIES_CACHE.clear()  # one live application at a time
+    _RECT_BOUNDARIES_CACHE[key] = df
+    return df
 
 
 # =====================================================================
