@@ -40,13 +40,22 @@ def streaming_geotags(spark: SparkSession, source_dir: str, res: int = 7) -> Dat
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            lat, lon = codecs.extract_geotags_batch(b["bytes"].tolist())
+            lat, lon = codecs.extract_geotags_batch(b["hdr"].tolist())
             yield pd.DataFrame(
                 {"image_id": b["image_id"], "lat": lat, "lon": lon,
                  "event_time_us": b["event_time_us"]}
             )
 
-    tagged = stream.select("image_id", "bytes", "event_time_us").mapInPandas(
+    # header-only projection before the Arrow hop (round 8): the batch
+    # path (geotag.extract_geotags) has always sliced the fixed-size
+    # header JVM-side so the Python channel ships 26 bytes per row, not
+    # the pixel payload; the streaming parse was shipping the full image
+    # bytes per micro-batch — guide §4.1, pass only what the function
+    # needs. Same kernel, same outputs.
+    tagged = stream.select(
+        "image_id", F.substring("bytes", 1, codecs.HEADER_SIZE).alias("hdr"),
+        "event_time_us",
+    ).mapInPandas(
         parse, "image_id string, lat double, lon double, event_time_us long"
     )
     return tagged.withColumn("event_time", F.timestamp_micros("event_time_us")).withColumn(
