@@ -549,40 +549,52 @@ def broadcast_pip_join_native(
         # O(cells x vertices) aggregate + broadcast (the polar cap at
         # res 3 covers ~39k cells x a 77-edge struct ~ a 10^2 MB dim;
         # measured as the whole cost of that bench row). Now the per-cell
-        # dim carries only int POSITIONS into a one-row array of the
-        # polygon structs: O(cells + vertices) broadcast bytes, and each
-        # point's fold resolves its candidates with O(1) element_at
-        # lookups. Same candidate sets, same fold, identical rows.
+        # dim carries only int POSITIONS; each point explodes its cell's
+        # candidate positions and a broadcast HASH join on position
+        # attaches exactly the candidate's own struct to each narrow
+        # (point, candidate) row, where the fold evaluates as a filter
+        # BEFORE any projection copies the struct. O(cells + vertices)
+        # broadcast bytes, per-candidate work unchanged, identical rows.
+        # (A rejected intermediate carried the structs as a one-row
+        # array column resolved per point with element_at: every output
+        # row then materialized a copy of the WHOLE array — measured
+        # 70x slower than the replicated dim at 2M points. Big arrays
+        # must stay on the build side of a hash join, never become a
+        # per-row column.)
         from pyspark.sql import Window
 
         pos = poly_structs.withColumn(
             "pos", F.row_number().over(Window.orderBy("boundary_id"))
         )
-        all_row = pos.agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "p"))), lambda x: x["p"]
-            ).alias("_all_polys")
-        )  # single row, ordered by pos
         cell_dim = (
             polygon_cover(boundaries, cell_prefilter_res)
             .join(pos.select("boundary_id", "pos"), "boundary_id")
             .groupBy("cell")
             .agg(F.array_sort(F.collect_list("pos")).alias("_poss"))
         )
-        pts = (
+        cand = (
             points.withColumn(
                 "cell", cells.hexlite_cell_col(F.col("lat"), F.col("lon"), cell_prefilter_res)
             )
             .join(F.broadcast(cell_dim), "cell", "left")
-            .crossJoin(F.broadcast(all_row))
+            # non-outer explode: points in uncovered cells (null _poss)
+            # drop here, same as the explode(null) of the other branches
+            .select(
+                "image_id", "lat", "lon", "_lon360", *extra_cols,
+                F.explode("_poss").alias("_pos"),
+            )
+            .join(F.broadcast(pos.select(F.col("pos").alias("_pos"), "p")), "_pos")
         )
-        polys = F.transform(F.col("_poss"), lambda i: F.element_at(F.col("_all_polys"), i))
+        return cand.where(inside(F.col("p"))).select(
+            "image_id", "lat", "lon", *extra_cols,
+            F.col("p")["bid"].alias("boundary_id"),
+        )
     return pts.select(
         "image_id", "lat", "lon", *extra_cols,
         # explode(null) yields no rows, so points whose cell has no covering
         # polygon (left-join miss) drop out without a null guard
         F.explode(
-            F.transform(F.filter(polys, inside), lambda s: s["bid"])
+            F.transform(F.filter(F.col("polys"), inside), lambda s: s["bid"])
         ).alias("boundary_id"),
     )
 
